@@ -1,0 +1,112 @@
+"""Configuration for the s2vt_tpu framework.
+
+Field names mirror the reference's ``Opt`` config class
+(/root/reference/train.py:20-48 and eval.py:21-27) so that users of the
+reference find the same knobs, plus TPU-specific additions (mesh shape,
+compute dtype, seeds). Unlike the reference — which hardcodes ``sos_ix=3`` /
+``eos_ix=4`` (S2VTModel.py:12) even though its vocab builder assigns
+frequency-ordered indices — the special-token indices here are explicit
+config fields resolved from the vocab at load time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Any
+
+
+@dataclasses.dataclass
+class Opt:
+    """Training / model / data configuration.
+
+    Mirrors /root/reference/train.py:20-48 field-for-field, with TPU-native
+    extensions at the bottom.
+    """
+
+    # - data config (train.py:22-24)
+    caption_file: str = "./data/captions.json"
+    feats_path: str = "./data/feats/vgg16_bn"
+    gts_file: str = "./data/gts.json"
+
+    # - model config (train.py:26-35)
+    train_length: int = 80   # fixed sequence length; feats length must equal this
+    dim_hidden: int = 512
+    dim_embed: int = 512
+    feat_dim: int = 4096
+    feat_dropout: float = 0.0
+    out_dropout: float = 0.0
+    rnn_dropout: float = 0.0
+    num_layers: int = 1
+    bidirectional: bool = False
+    rnn_type: str = "lstm"  # 'lstm' or 'gru'
+    model: str = "s2vt"     # 's2vt' or 'att_baseline' (train.py:86 ships att_baseline)
+
+    # - data config (train.py:37)
+    batch_size: int = 16
+    eval_batch_size: int = 10  # eval.py:27
+
+    # - train config (train.py:39-44)
+    EPOCHS: int = 300
+    save_freq: int = 100
+    save_path: str = "./checkpoint"
+    histogram_freq: int = 10
+    start_time: str = dataclasses.field(
+        default_factory=lambda: time.strftime("%y_%m_%d_%H_%M_%S-", time.localtime())
+    )
+    early_stopping_patience: int = 30
+
+    # - optimizer config (train.py:46-47)
+    lr: float = 1e-4
+    learning_rate_patience: int = 20
+    weight_decay: float = 0.0
+
+    # - special tokens (explicit, unlike the reference's hardcoded 3/4)
+    sos_ix: int = 3
+    eos_ix: int = 4
+    pad_ix: int = 0
+    unk_ix: int = 1
+
+    # - decode config (S2VTModel.py:39, eval.py)
+    beam_width: int = 3
+    max_beam_depth: int = 30
+    length_norm_alpha: float = 0.7
+
+    # - TPU-native extensions
+    seed: int = 0
+    compute_dtype: str = "float32"   # 'float32' or 'bfloat16' for matmul inputs
+    use_pallas: bool = False         # use the Pallas-fused LSTM sequence kernel
+    mesh_shape: tuple = (1, 1)       # (data, model) mesh axes
+    masked_loss: bool = True         # True = the *intended* masked-mean CE;
+    #   False reproduces the reference's MaskCriterion bug (utils.py:11-26),
+    #   where reduction='mean' makes the mask a no-op (plain mean CE incl. pads).
+    donate_state: bool = True
+    log_dir: str = "./runs"
+
+    def replace(self, **kw: Any) -> "Opt":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["mesh_shape"] = list(d["mesh_shape"])
+        return json.dumps(d, indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Opt":
+        d = json.loads(s)
+        if "mesh_shape" in d:
+            d["mesh_shape"] = tuple(d["mesh_shape"])
+        return cls(**d)
+
+
+def save_opt(opt: Opt, path: str) -> None:
+    """Config snapshot, the analog of the reference's ``{ts}opt.txt``
+    (/root/reference/train.py:51-53), written as JSON for round-tripping."""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(opt.to_json())
+
+
+def load_opt(path: str) -> Opt:
+    with open(path, encoding="utf-8") as f:
+        return Opt.from_json(f.read())
