@@ -1,0 +1,187 @@
+"""Bi-LSTM encoder + additive-attention decoder baseline, TPU-native.
+
+Capability parity with the reference's ``Att_Baseline``
+(/root/reference/attention_baseline.py:9-105) — the model the shipped
+train.py actually instantiates (train.py:86-87). Redesigned for XLA:
+
+ - The encoder is one bidirectional fused scan.
+ - The decoder's 79-iteration Python hot loop (attention_baseline.py:74-84)
+   becomes a single ``lax.scan``; the encoder-side attention projection
+   ``att_enc(enc_outputs)`` — recomputed every step by the reference — is
+   hoisted out of the loop (identical math, 79× less work).
+ - Greedy test decode (attention_baseline.py:86-105) is a second scan
+   re-feeding argmax embeddings.
+
+Attention (attention_baseline.py:35-57): Bahdanau-style additive scores
+``att_apply(tanh(W_e·enc + W_h·h_prev))``. NOTE a reference bug: it applies
+``softmax(et, dim=2)`` over the *singleton* channel axis of [B, L, 1], which
+yields constant 1.0 weights — the shipped model effectively sum-pools the
+encoder outputs. ``att_mode='softmax'`` (default) implements the intended
+softmax over the L axis; ``att_mode='reference_sum'`` reproduces the bug for
+output parity with reference checkpoints.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from s2vt_tpu.ops.layers import TorchEmbedding, TorchLinear, apply_linear, dropout
+from s2vt_tpu.ops.rnn import TorchRNN, multilayer_step, zero_state
+
+
+class AttBaseline(nn.Module):
+    """Constructor mirrors attention_baseline.py:10-33."""
+
+    vocab_size: int
+    dim_feat: int
+    length: int
+    dim_hid: int = 500
+    dim_embed: int = 500
+    feat_dropout: float = 0.0
+    out_dropout: float = 0.0
+    sos_ix: int = 3
+    eos_ix: int = 4
+    att_mode: str = "softmax"  # 'softmax' (intended) | 'reference_sum' (bug-compatible)
+    compute_dtype: Any = None
+
+    def setup(self):
+        self.encoder = TorchRNN(hidden_size=self.dim_hid, input_size=self.dim_hid,
+                                bidirectional=True, compute_dtype=self.compute_dtype,
+                                name="encoder")
+        self.decoder = TorchRNN(hidden_size=self.dim_hid,
+                                input_size=self.dim_hid * 2 + self.dim_embed,
+                                compute_dtype=self.compute_dtype, name="decoder")
+        self.feat_linear = TorchLinear(self.dim_hid, self.dim_feat,
+                                       compute_dtype=self.compute_dtype,
+                                       name="feat_linear")
+        self.embedding = TorchEmbedding(self.vocab_size, self.dim_embed,
+                                        padding_idx=0, name="embedding")
+        self.out_linear = TorchLinear(self.vocab_size, self.dim_hid,
+                                      compute_dtype=self.compute_dtype,
+                                      name="out_linear")
+        self.att_enc = TorchLinear(self.dim_hid, self.dim_hid * 2,
+                                   compute_dtype=self.compute_dtype, name="att_enc")
+        self.att_prev_hid = TorchLinear(self.dim_hid, self.dim_hid,
+                                        compute_dtype=self.compute_dtype,
+                                        name="att_prev_hid")
+        self.att_apply = TorchLinear(1, self.dim_hid, use_bias=False,
+                                     compute_dtype=self.compute_dtype,
+                                     name="att_apply")
+
+    def _attention(self, enc_outputs, enc_W_h, dec_prev_hid):
+        """context [B, 2H] from enc_outputs [B, L, 2H] and dec hidden [B, H].
+
+        enc_W_h = att_enc(enc_outputs) is hoisted by the caller.
+        """
+        dec_W_h = self.att_prev_hid(dec_prev_hid)[:, None, :]       # [B, 1, H]
+        et = self.att_apply(jnp.tanh(enc_W_h + dec_W_h))            # [B, L, 1]
+        if self.att_mode == "reference_sum":
+            # softmax over the singleton axis == all-ones weights: sum-pool.
+            at = jnp.ones_like(et)
+        else:
+            at = jax.nn.softmax(et, axis=1)
+        return jnp.sum(at * enc_outputs, axis=1)                    # [B, 2H]
+
+    def _encode(self, feats, deterministic):
+        rng = (self.make_rng("dropout")
+               if (self.feat_dropout > 0.0 and not deterministic) else None)
+        feats = dropout(feats, self.feat_dropout, rng, deterministic)
+        feats = self.feat_linear(feats)                             # [B, L, H]
+        enc_outputs, _ = self.encoder(feats, deterministic=deterministic)
+        return enc_outputs                                          # [B, L, 2H]
+
+    def __call__(self, feats, targets=None, mode: str = "train",
+                 deterministic: Optional[bool] = None):
+        if deterministic is None:
+            deterministic = mode != "train"
+        if mode == "train":
+            return self.teacher_forced(feats, targets, deterministic)
+        if mode == "test":
+            return self.greedy(feats)
+        raise ValueError(f"unknown mode {mode!r} (AttBaseline has no beam mode, "
+                         "matching attention_baseline.py)")
+
+    def teacher_forced(self, feats, targets, deterministic=False):
+        """Teacher forcing: L-1 decode steps as one scan
+        (attention_baseline.py:69-85). Returns logits [B, L-1, V]."""
+        B = feats.shape[0]
+        enc_outputs = self._encode(feats, deterministic)
+        enc_W_h = self.att_enc(enc_outputs)                         # hoisted
+
+        dec_layers = self.decoder.layers
+        att_w = (self.att_prev_hid.weight, self.att_prev_hid.bias,
+                 self.att_apply.weight)
+        cdt = self.compute_dtype
+
+        def attention(h):
+            dec_W_h = apply_linear(h, att_w[0], att_w[1], cdt)[:, None, :]
+            et = apply_linear(jnp.tanh(enc_W_h + dec_W_h), att_w[2], None, cdt)
+            if self.att_mode == "reference_sum":
+                at = jnp.ones_like(et)
+            else:
+                at = jax.nn.softmax(et, axis=1)
+            return jnp.sum(at * enc_outputs, axis=1)
+
+        context0 = attention(jnp.zeros((B, self.dim_hid), jnp.float32))
+        embed = self.embedding(targets)                             # [B, L-1, E]
+        embed_t = jnp.swapaxes(embed, 0, 1)                         # [L-1, B, E]
+        state0 = zero_state(B, self.dim_hid)
+
+        def step(carry, emb_t):
+            states, context = carry
+            x = jnp.concatenate([emb_t, context], axis=-1)          # [B, E+2H]
+            states, h = multilayer_step(states, x, dec_layers, "lstm", cdt)
+            context = attention(h)
+            return (states, context), h
+
+        _, hs = jax.lax.scan(step, (state0, context0), embed_t)
+        hs = jnp.swapaxes(hs, 0, 1)                                 # [B, L-1, H]
+        rng = (self.make_rng("dropout")
+               if (self.out_dropout > 0.0 and not deterministic) else None)
+        hs = dropout(hs, self.out_dropout, rng, deterministic)
+        return self.out_linear(hs)
+
+    def greedy(self, feats):
+        """Greedy decode, L steps (attention_baseline.py:86-105).
+        Returns token ids [B, L]."""
+        B = feats.shape[0]
+        enc_outputs = self._encode(feats, True)
+        enc_W_h = self.att_enc(enc_outputs)
+
+        dec_layers = self.decoder.layers
+        emb_table = self.embedding.table()
+        out_w, out_b = self.out_linear.weight, self.out_linear.bias
+        att_w = (self.att_prev_hid.weight, self.att_prev_hid.bias,
+                 self.att_apply.weight)
+        cdt = self.compute_dtype
+
+        def attention(h):
+            dec_W_h = apply_linear(h, att_w[0], att_w[1], cdt)[:, None, :]
+            et = apply_linear(jnp.tanh(enc_W_h + dec_W_h), att_w[2], None, cdt)
+            if self.att_mode == "reference_sum":
+                at = jnp.ones_like(et)
+            else:
+                at = jax.nn.softmax(et, axis=1)
+            return jnp.sum(at * enc_outputs, axis=1)
+
+        context0 = attention(jnp.zeros((B, self.dim_hid), jnp.float32))
+        sos = jnp.full((B,), self.sos_ix, jnp.int32)
+        state0 = zero_state(B, self.dim_hid)
+
+        def step(carry, _):
+            states, context, word = carry
+            emb = jnp.take(emb_table, word, axis=0)
+            x = jnp.concatenate([emb, context], axis=-1)
+            states, h = multilayer_step(states, x, dec_layers, "lstm", cdt)
+            context = attention(h)
+            logits = apply_linear(h, out_w, out_b, cdt)
+            word = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (states, context, word), word
+
+        _, tokens = jax.lax.scan(step, (state0, context0, sos), None,
+                                 length=self.length)
+        return jnp.swapaxes(tokens, 0, 1)                           # [B, L]

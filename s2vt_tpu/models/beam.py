@@ -1,0 +1,131 @@
+"""Batched, fixed-shape, on-device beam search.
+
+Replaces the reference's per-sentence PriorityQueue decoder
+(/root/reference/S2VTModel.py:149-269) with a vectorized
+``lax.while_loop``: beams live as a [B, W] tensor dimension, each round
+expands every live beam over the vocabulary, applies the reference's
+length-normalized score ``cum_logp / len^alpha`` (S2VTModel.py:261-269,
+alpha=0.7), masks expansion to each node's top-``expand_k`` tokens
+(S2VTModel.py:216 uses top-20), freezes finished (<eos>) beams with their
+score (S2VTModel.py:203-205), and stops early when every beam is finished —
+the vectorized equivalent of the reference's "queue <= beam_width" stop
+(S2VTModel.py:227) — or at ``max_depth`` rounds (S2VTModel.py:186).
+
+The search is generic over a ``step_fn`` so both S2VT and future models
+reuse it: ``step_fn(states, last_tokens[N]) -> (new_states, logp[N, V])``
+where all state leaves have leading dim N = B*W.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+class BeamResult(NamedTuple):
+    tokens: jax.Array   # [B, W, max_depth + 1] int32; position 0 is <sos>
+    lengths: jax.Array  # [B, W] int32 — node length incl. <sos> (and <eos> if hit)
+    scores: jax.Array   # [B, W] float32 length-normalized scores, sorted desc
+
+
+def _tile_states(states, width: int):
+    def tile(x):
+        B = x.shape[0]
+        return jnp.broadcast_to(x[:, None], (B, width) + x.shape[1:]).reshape(
+            (B * width,) + x.shape[1:])
+    return jax.tree_util.tree_map(tile, states)
+
+
+def _gather_states(states, parent: jax.Array):
+    """parent: [B, W] indices into the old beam axis."""
+    B, W = parent.shape
+
+    def gather(x):
+        xw = x.reshape((B, W) + x.shape[1:])
+        idx = parent.reshape((B, W) + (1,) * (x.ndim - 1))
+        return jnp.take_along_axis(xw, idx, axis=1).reshape(x.shape)
+    return jax.tree_util.tree_map(gather, states)
+
+
+def beam_search(step_fn: Callable, init_states, *, sos_ix: int, eos_ix: int,
+                vocab_size: int, beam_width: int = 3, max_depth: int = 30,
+                alpha: float = 0.7, expand_k: int = 20) -> BeamResult:
+    leaves = jax.tree_util.tree_leaves(init_states)
+    B = leaves[0].shape[0]
+    W, V = beam_width, vocab_size
+    expand_k = min(expand_k, V)
+
+    states0 = _tile_states(init_states, W)
+    tokens0 = jnp.full((B, W, max_depth + 1), sos_ix, jnp.int32)
+    # Beam 0 carries the root; duplicates are suppressed with -inf so the
+    # first expansion yields W *distinct* continuations of <sos>.
+    cum0 = jnp.where(jnp.arange(W) == 0, 0.0, NEG_INF)[None, :].repeat(B, 0)
+    length0 = jnp.ones((B, W), jnp.int32)
+    finished0 = jnp.zeros((B, W), bool)
+    score0 = jnp.zeros((B, W), jnp.float32)
+    last0 = jnp.full((B, W), sos_ix, jnp.int32)
+
+    def cond(carry):
+        d, _, _, _, _, _, finished, _ = carry
+        return jnp.logical_and(d < max_depth, ~jnp.all(finished))
+
+    def body(carry):
+        d, states, tokens, last, cum, length, finished, score = carry
+        new_states, logp = step_fn(states, last.reshape(B * W))
+        logp = logp.reshape(B, W, V)
+
+        # Per-node top-expand_k masking (reference expands only top-20).
+        if expand_k < V:
+            kth = jax.lax.top_k(logp, expand_k)[0][..., -1:]
+            logp = jnp.where(logp >= kth, logp, NEG_INF)
+
+        cand_cum = cum[..., None] + logp                       # [B, W, V]
+        cand_len = (length + 1).astype(jnp.float32)[..., None]
+        cand_score = cand_cum / jnp.power(cand_len, alpha)
+
+        # Finished beams persist unchanged: a single frozen candidate at
+        # the <eos> column, everything else -inf.
+        is_eos_col = (jnp.arange(V) == eos_ix)[None, None, :]
+        fin = finished[..., None]
+        cand_score = jnp.where(
+            fin, jnp.where(is_eos_col, score[..., None], NEG_INF), cand_score)
+        cand_cum = jnp.where(fin, cum[..., None], cand_cum)
+
+        flat_score = cand_score.reshape(B, W * V)
+        new_score, flat_idx = jax.lax.top_k(flat_score, W)     # [B, W]
+        parent = flat_idx // V
+        token = (flat_idx % V).astype(jnp.int32)
+
+        new_cum = jnp.take_along_axis(cand_cum.reshape(B, W * V), flat_idx, axis=1)
+        parent_fin = jnp.take_along_axis(finished, parent, axis=1)
+        parent_len = jnp.take_along_axis(length, parent, axis=1)
+        new_length = jnp.where(parent_fin, parent_len, parent_len + 1)
+        new_finished = parent_fin | (token == eos_ix)
+
+        tokens = jnp.take_along_axis(tokens, parent[..., None], axis=1)
+        tokens = tokens.at[:, :, d + 1].set(
+            jnp.where(parent_fin, eos_ix, token))
+        states = _gather_states(new_states, parent)
+        return (d + 1, states, tokens, token, new_cum, new_length,
+                new_finished, new_score)
+
+    carry = (jnp.int32(0), states0, tokens0, last0, cum0, length0,
+             finished0, score0)
+    _, _, tokens, _, cum, length, finished, score = jax.lax.while_loop(
+        cond, body, carry)
+
+    # Unfinished survivors keep their running normalized score, like the
+    # reference's final nodes.get() over a queue that may hold live nodes.
+    final_score = jnp.where(
+        finished, score,
+        cum / jnp.power(jnp.maximum(length, 1).astype(jnp.float32), alpha))
+    order = jnp.argsort(-final_score, axis=1)
+    return BeamResult(
+        tokens=jnp.take_along_axis(tokens, order[..., None], axis=1),
+        lengths=jnp.take_along_axis(length, order, axis=1),
+        scores=jnp.take_along_axis(final_score, order, axis=1),
+    )

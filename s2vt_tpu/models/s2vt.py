@@ -1,0 +1,220 @@
+"""S2VT: two-RNN encode-then-decode video captioner, TPU-native.
+
+Semantics follow the reference implementation (/root/reference/S2VTModel.py:10-110,
+"Sequence to Sequence — Video to Text", CVPR 2015) exactly, but the mechanics
+are redesigned for XLA:
+
+ - Teacher-forced training is TWO fused scans over the 2L-1 time axis with
+   all input projections hoisted into big MXU matmuls (vs. the reference's
+   two cuDNN LSTM calls, S2VTModel.py:67,77).
+ - Greedy decode is a jitted ``lax.scan`` carrying (word_rnn state, current
+   token) that re-feeds argmax embeddings — replacing the reference's L-2
+   step Python loop with per-token ``.item()`` D2H syncs (S2VTModel.py:98-107).
+ - Beam search is batched and fixed-shape on device (models/beam.py),
+   replacing the per-sentence PriorityQueue (S2VTModel.py:149-269).
+
+Stage layout (reference S2VTModel.py:63-81): video features are projected to
+dim_hid, padded with L-1 zero-steps, and run through ``vid_rnn`` for 2L-1
+steps. ``word_rnn`` sees [zero-embedding; vid_out] for the first L (encoding)
+steps and [token embedding; vid_out] for the last L-1 (decoding) steps; only
+the decoding-stage outputs are projected to the vocabulary.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from s2vt_tpu.models import beam as beam_mod
+from s2vt_tpu.ops.layers import TorchEmbedding, TorchLinear, apply_linear, dropout
+from s2vt_tpu.ops.rnn import TorchRNN, multilayer_step
+
+
+class S2VT(nn.Module):
+    """Reference-compatible constructor signature (S2VTModel.py:11-12)."""
+
+    vocab_size: int
+    feat_dim: int
+    length: int
+    dim_hid: int = 500
+    dim_embed: int = 500
+    feat_dropout: float = 0.0
+    rnn_dropout: float = 0.0
+    out_dropout: float = 0.0
+    num_layers: int = 1
+    bidirectional: bool = False
+    rnn_type: str = "lstm"
+    sos_ix: int = 3
+    eos_ix: int = 4
+    compute_dtype: Any = None
+    use_pallas: bool = False
+
+    def setup(self):
+        assert not self.bidirectional, "bidirectional S2VT is unsupported (as in the reference)"
+        self.vid_rnn = TorchRNN(
+            hidden_size=self.dim_hid, input_size=self.dim_hid,
+            num_layers=self.num_layers, rnn_type=self.rnn_type,
+            dropout=self.rnn_dropout, compute_dtype=self.compute_dtype,
+            name="vid_rnn")
+        self.word_rnn = TorchRNN(
+            hidden_size=self.dim_hid, input_size=self.dim_hid + self.dim_embed,
+            num_layers=self.num_layers, rnn_type=self.rnn_type,
+            dropout=self.rnn_dropout, compute_dtype=self.compute_dtype,
+            name="word_rnn")
+        self.feat_linear = TorchLinear(self.dim_hid, self.feat_dim,
+                                       compute_dtype=self.compute_dtype,
+                                       name="feat_linear")
+        self.out_linear = TorchLinear(self.vocab_size, self.dim_hid,
+                                      compute_dtype=self.compute_dtype,
+                                      name="out_linear")
+        self.embedding = TorchEmbedding(self.vocab_size, self.dim_embed,
+                                        name="embedding")
+
+    # ------------------------------------------------------------------
+    # shared encode
+    # ------------------------------------------------------------------
+
+    def _project_feats(self, feats, deterministic):
+        """feat_drop -> feat_linear (S2VTModel.py:52-54)."""
+        rng = (self.make_rng("dropout")
+               if (self.feat_dropout > 0.0 and not deterministic) else None)
+        feats = dropout(feats, self.feat_dropout, rng, deterministic)
+        return self.feat_linear(feats)
+
+    def _vid_pass(self, feats, deterministic):
+        """vid_rnn over [feats; zeros(L-1)] — 2L-1 steps (S2VTModel.py:64-67)."""
+        B = feats.shape[0]
+        pad = jnp.zeros((B, self.length - 1, self.dim_hid), feats.dtype)
+        pad_feats = jnp.concatenate([feats, pad], axis=1)
+        output1, _ = self.vid_rnn(pad_feats, deterministic=deterministic)
+        return output1
+
+    # ------------------------------------------------------------------
+    # modes
+    # ------------------------------------------------------------------
+
+    def __call__(self, feats, targets=None, mode: str = "train",
+                 beam_width: int = 3, max_beam_depth: int = 30,
+                 deterministic: Optional[bool] = None):
+        """Dispatch like the reference forward (S2VTModel.py:39-61).
+
+        mode='train' -> logits [B, L-1, V] (teacher forcing)
+        mode='test'  -> greedy token ids [B, L-1]
+        mode='beam_search' -> (tokens [B, W, D+1], lengths [B, W], scores [B, W])
+        """
+        if deterministic is None:
+            deterministic = mode != "train"
+        if mode == "train":
+            return self.teacher_forced(feats, targets, deterministic)
+        if mode == "test":
+            return self.greedy(feats)
+        if mode == "beam_search":
+            return self.beam(feats, beam_width, max_beam_depth)
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def teacher_forced(self, feats, targets, deterministic=False):
+        """Training pass: one fused 2L-1 scan per RNN (S2VTModel.py:69-81).
+
+        feats: [B, L, feat_dim]; targets: [B, L-1] token ids.
+        Returns logits [B, L-1, vocab].
+        """
+        B = feats.shape[0]
+        feats = self._project_feats(feats, deterministic)
+        output1 = self._vid_pass(feats, deterministic)            # [B, 2L-1, H]
+
+        embed = self.embedding(targets)                           # [B, L-1, E]
+        pad = jnp.zeros((B, self.length, self.dim_embed), embed.dtype)
+        pad_embed = jnp.concatenate([pad, embed], axis=1)         # [B, 2L-1, E]
+        input2 = jnp.concatenate([pad_embed, output1], axis=-1)   # [B, 2L-1, E+H]
+        output2, _ = self.word_rnn(input2, deterministic=deterministic)
+
+        result = output2[:, self.length:, :]                      # [B, L-1, H]
+        rng = (self.make_rng("dropout")
+               if (self.out_dropout > 0.0 and not deterministic) else None)
+        result = dropout(result, self.out_dropout, rng, deterministic)
+        return self.out_linear(result)
+
+    def greedy(self, feats):
+        """Greedy decode as a fixed-shape on-device scan (vs S2VTModel.py:82-110).
+
+        Encoding stage: word_rnn over [zeros; output1[:, :L]] yields state2.
+        Decoding stage: scan over L-1 steps; step t consumes output1[:, L+t]
+        and the embedding of the previous argmax (sos at t=0).
+        Returns token ids [B, L-1] (int32).
+        """
+        B = feats.shape[0]
+        feats = self._project_feats(feats, True)
+        output1 = self._vid_pass(feats, True)                     # [B, 2L-1, H]
+
+        enc_pad = jnp.zeros((B, self.length, self.dim_embed), jnp.float32)
+        input2 = jnp.concatenate([enc_pad, output1[:, :self.length, :]], axis=-1)
+        _, states2 = self.word_rnn(input2, deterministic=True)    # list per layer
+
+        emb_table = self.embedding.table()
+        word_layers = self.word_rnn.layers
+        out_w, out_b = self.out_linear.weight, self.out_linear.bias
+        rnn_type, cdt = self.rnn_type, self.compute_dtype
+
+        vid_tail = jnp.swapaxes(output1[:, self.length:, :], 0, 1)  # [L-1, B, H]
+        sos = jnp.full((B,), self.sos_ix, jnp.int32)
+
+        def step(carry, vid_out_t):
+            states, word = carry
+            emb = jnp.take(emb_table, word, axis=0)               # [B, E]
+            x = jnp.concatenate([emb, vid_out_t], axis=-1)        # [B, E+H]
+            states, h = multilayer_step(states, x, word_layers, rnn_type, cdt)
+            logits = apply_linear(h, out_w, out_b, cdt)           # [B, V]
+            word = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (states, word), word
+
+        _, tokens = jax.lax.scan(step, (states2, sos), vid_tail)
+        return jnp.swapaxes(tokens, 0, 1)                          # [B, L-1]
+
+    def encode_for_beam(self, feats):
+        """Beam-mode encoding (S2VTModel.py:56-60): vid_rnn over the RAW L
+        steps (no zero padding — this differs from train/greedy!), then
+        word_rnn over [zeros; output1] to get its encoding state."""
+        B = feats.shape[0]
+        feats = self._project_feats(feats, True)
+        output1, states1 = self.vid_rnn(feats, deterministic=True)
+        pad = jnp.zeros((B, self.length, self.dim_embed), jnp.float32)
+        input2 = jnp.concatenate([pad, output1], axis=-1)
+        _, states2 = self.word_rnn(input2, deterministic=True)
+        return states1, states2
+
+    def beam(self, feats, beam_width: int = 3, max_depth: int = 30,
+             length_norm_alpha: float = 0.7, expand_k: int = 20):
+        """Batched fixed-shape beam search (replaces S2VTModel.py:149-269)."""
+        states1, states2 = self.encode_for_beam(feats)
+
+        emb_table = self.embedding.table()
+        vid_layers = self.vid_rnn.layers
+        word_layers = self.word_rnn.layers
+        out_w, out_b = self.out_linear.weight, self.out_linear.bias
+        rnn_type, cdt = self.rnn_type, self.compute_dtype
+        dim_hid = self.dim_hid
+
+        def step_fn(states, word):
+            """(states1, states2), word ids [N] -> new states, log-probs [N, V].
+
+            Each decode step continues vid_rnn with a ZERO input
+            (S2VTModel.py:208-210) and feeds [embed(word); vid_out] to word_rnn.
+            """
+            st1, st2 = states
+            N = word.shape[0]
+            zero_in = jnp.zeros((N, dim_hid), jnp.float32)
+            st1, vid_out = multilayer_step(st1, zero_in, vid_layers, rnn_type, cdt)
+            emb = jnp.take(emb_table, word, axis=0)
+            x = jnp.concatenate([emb, vid_out], axis=-1)
+            st2, h = multilayer_step(st2, x, word_layers, rnn_type, cdt)
+            logits = apply_linear(h, out_w, out_b, cdt)
+            return (st1, st2), jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+        return beam_mod.beam_search(
+            step_fn, (states1, states2),
+            sos_ix=self.sos_ix, eos_ix=self.eos_ix,
+            vocab_size=self.vocab_size, beam_width=beam_width,
+            max_depth=max_depth, alpha=length_norm_alpha, expand_k=expand_k)
