@@ -83,6 +83,9 @@ class Opt:
     #   where reduction='mean' makes the mask a no-op (plain mean CE incl. pads).
     donate_state: bool = True
     log_dir: str = "./runs"
+    vocab_pad_multiple: int = 1  # pad vocab size up to a multiple (e.g. 128
+    #   for MXU-friendly logits and tensor-parallel vocab sharding); padded
+    #   indices never occur in captions and are masked out of decode.
 
     def replace(self, **kw: Any) -> "Opt":
         return dataclasses.replace(self, **kw)

@@ -1,0 +1,93 @@
+"""PTB tokenization for metric scoring, java-free.
+
+The reference shells out to the Stanford CoreNLP PTBTokenizer jar with
+``-preserveLines -lowerCase`` and strips a fixed punctuation list
+(/root/reference/coco_caption/pycocoevalcap/tokenizer/ptbtokenizer.py:21-66);
+the jar itself is a missing large blob in the reference checkout. This
+implementation reproduces that behavior host-side:
+
+ - primary backend: nltk's TreebankWordTokenizer (a faithful reimplementation
+   of the PTB sed script: splits contractions "don't"->"do n't", separates
+   punctuation, brackets to -LRB-/-RRB-),
+ - fallback: a regex tokenizer with the same core rules, used if nltk is
+   unavailable,
+ - optional jar backend (``backend='stanford'``) preserving the reference's
+   exact subprocess contract when the user supplies the jar + java.
+
+Same interface/IO contract as the reference wrapper:
+``tokenize({image_id: [{'caption': str}, ...]}) -> {image_id: [str, ...]}``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List
+
+# Tokens removed after tokenization (ptbtokenizer.py:21-22).
+PUNCTUATIONS = ["''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
+                ".", "?", "!", ",", ":", "-", "--", "...", ";"]
+_PUNCT_SET = set(PUNCTUATIONS)
+
+
+def _regex_ptb_tokenize(text: str) -> List[str]:
+    """Minimal PTB-style tokenizer used only when nltk is absent."""
+    text = re.sub(r"([?!.,;:@#$%&])", r" \1 ", text)
+    text = re.sub(r"\(", " -LRB- ", text)
+    text = re.sub(r"\)", " -RRB- ", text)
+    text = re.sub(r"([^' ])('s|'m|'d|'ll|'re|'ve|n't)\b", r"\1 \2", text)
+    return text.split()
+
+
+class PTBTokenizer:
+    def __init__(self, backend: str = "auto", jar_path: str = None):
+        self.jar_path = jar_path
+        if backend == "auto":
+            try:
+                from nltk.tokenize import TreebankWordTokenizer
+                self._tok = TreebankWordTokenizer()
+                backend = "nltk"
+            except Exception:
+                backend = "regex"
+        elif backend == "nltk":
+            from nltk.tokenize import TreebankWordTokenizer
+            self._tok = TreebankWordTokenizer()
+        self.backend = backend
+
+    def _tokenize_line(self, line: str) -> List[str]:
+        line = line.replace("\n", " ").lower()
+        if self.backend == "nltk":
+            return self._tok.tokenize(line)
+        return _regex_ptb_tokenize(line)
+
+    def tokenize(self, captions_for_image: Dict) -> Dict[str, List[str]]:
+        if self.backend == "stanford":
+            return self._tokenize_stanford(captions_for_image)
+        out: Dict[str, List[str]] = {}
+        for img_id, caps in captions_for_image.items():
+            out[img_id] = []
+            for cap in caps:
+                text = cap["caption"] if isinstance(cap, dict) else cap
+                words = [w for w in self._tokenize_line(text)
+                         if w not in _PUNCT_SET]
+                out[img_id].append(" ".join(words))
+        return out
+
+    def _tokenize_stanford(self, captions_for_image: Dict) -> Dict[str, List[str]]:
+        """Exact reference contract: one sentence per line through the jar
+        with -preserveLines -lowerCase (requires java + the jar)."""
+        import subprocess
+        ids, lines = [], []
+        for img_id, caps in captions_for_image.items():
+            for cap in caps:
+                text = cap["caption"] if isinstance(cap, dict) else cap
+                ids.append(img_id)
+                lines.append(text.replace("\n", " "))
+        proc = subprocess.run(
+            ["java", "-cp", self.jar_path, "edu.stanford.nlp.process.PTBTokenizer",
+             "-preserveLines", "-lowerCase"],
+            input="\n".join(lines).encode(), capture_output=True, check=True)
+        out: Dict[str, List[str]] = {}
+        for img_id, line in zip(ids, proc.stdout.decode().split("\n")):
+            words = [w for w in line.rstrip().split(" ") if w not in _PUNCT_SET]
+            out.setdefault(img_id, []).append(" ".join(words))
+        return out

@@ -1,0 +1,6 @@
+from s2vt_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    param_shardings,
+    replicate_sharding,
+)

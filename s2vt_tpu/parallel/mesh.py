@@ -1,0 +1,92 @@
+"""Device mesh + sharding layout for data/tensor parallel training.
+
+The reference is strictly single-device (SURVEY.md §2: no DDP/NCCL/MPI
+anywhere; extract_features.py:155 even says "don't support multi GPU"), so
+parallelism here is NEW first-class design, not a port:
+
+ - axis ``data``: batch (data-parallel) — gradients all-reduce over ICI via
+   XLA's ``psum``, inserted automatically by sharding propagation under jit.
+ - axis ``model``: the vocabulary dimension of the embedding table, output
+   projection and its bias — the only weights that grow with corpus size
+   (MSR-VTT-scale vocab). Logits [B, L-1, V] come out vocab-sharded; the
+   loss's log-sum-exp over V becomes an ICI all-reduce XLA schedules itself.
+
+Everything else (RNN weights, attention projections) is replicated: at
+dim_hid=512 they are far below the ICI-communication break-even for TP.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+# Param-tree leaves sharded along the vocab dimension on the model axis:
+# (module name, leaf name) -> which dim is vocab.
+_VOCAB_SHARDED = {
+    ("embedding", "weight"): 0,   # [V, E]
+    ("out_linear", "weight"): 0,  # [V, H]
+    ("out_linear", "bias"): 0,    # [V]
+}
+
+
+def make_mesh(shape: Optional[Sequence[int]] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (data, model) mesh. Default: all devices on the data axis."""
+    if devices is None:
+        devices = jax.devices()
+    if shape is None:
+        shape = (len(devices), 1)
+    n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(f"mesh shape {tuple(shape)} needs {n} devices, "
+                         f"have {len(devices)}")
+    dev_array = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _spec_for_path(path, leaf, model_size: int) -> P:
+    names = [getattr(k, "key", getattr(k, "name", None)) for k in path]
+    for (mod, leaf_name), dim in _VOCAB_SHARDED.items():
+        if mod in names and names[-1] == leaf_name:
+            if leaf.shape[dim] % model_size != 0:
+                # Not divisible (vocab unpadded) — replicate rather than fail.
+                # Pad the vocab (Opt.vocab_pad_multiple) to enable TP.
+                return P()
+            spec = [None] * leaf.ndim
+            spec[dim] = MODEL_AXIS
+            return P(*spec)
+    return P()
+
+
+def param_shardings(mesh: Mesh, params) -> dict:
+    """NamedShardings for a model param tree: vocab-dim leaves on the model
+    axis (when divisible), everything else replicated."""
+    model_size = mesh.shape[MODEL_AXIS]
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _spec_for_path(path, leaf, model_size)),
+        params)
+
+
+def pad_to_multiple(n: int, multiple: int) -> int:
+    return -(-n // multiple) * multiple
+
+
+def shard_batch_arrays(mesh: Mesh, *arrays):
+    """Device_put host arrays with the batch dim sharded over 'data'."""
+    sh = batch_sharding(mesh)
+    return tuple(jax.device_put(a, sh) for a in arrays)
