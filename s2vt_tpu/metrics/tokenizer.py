@@ -56,7 +56,9 @@ class PTBTokenizer:
     def _tokenize_line(self, line: str) -> List[str]:
         line = line.replace("\n", " ").lower()
         if self.backend == "nltk":
-            return self._tok.tokenize(line)
+            # convert_parentheses=True emits -LRB-/-RRB- like the Stanford
+            # jar, which the PUNCTUATIONS strip list then removes.
+            return self._tok.tokenize(line, convert_parentheses=True)
         return _regex_ptb_tokenize(line)
 
     def tokenize(self, captions_for_image: Dict) -> Dict[str, List[str]]:
