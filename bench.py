@@ -35,7 +35,7 @@ def bench_jax(batch: int, iters: int) -> float:
 
     model = S2VT(vocab_size=VOCAB, feat_dim=FEAT, length=L, dim_hid=H,
                  dim_embed=E, sos_ix=SOS, eos_ix=4,
-                 compute_dtype=jnp.bfloat16)
+                 compute_dtype=jnp.bfloat16, use_pallas=True)
     rng = np.random.default_rng(0)
     feats = jnp.asarray(rng.normal(size=(batch, L, FEAT)).astype(np.float32))
     params = model.init(jax.random.PRNGKey(0), feats, mode="test")["params"]

@@ -58,12 +58,12 @@ class S2VT(nn.Module):
             hidden_size=self.dim_hid, input_size=self.dim_hid,
             num_layers=self.num_layers, rnn_type=self.rnn_type,
             dropout=self.rnn_dropout, compute_dtype=self.compute_dtype,
-            name="vid_rnn")
+            use_pallas=self.use_pallas, name="vid_rnn")
         self.word_rnn = TorchRNN(
             hidden_size=self.dim_hid, input_size=self.dim_hid + self.dim_embed,
             num_layers=self.num_layers, rnn_type=self.rnn_type,
             dropout=self.rnn_dropout, compute_dtype=self.compute_dtype,
-            name="word_rnn")
+            use_pallas=self.use_pallas, name="word_rnn")
         self.feat_linear = TorchLinear(self.dim_hid, self.feat_dim,
                                        compute_dtype=self.compute_dtype,
                                        name="feat_linear")

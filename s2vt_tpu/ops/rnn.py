@@ -242,6 +242,7 @@ class TorchRNN(nn.Module):
     rnn_type: str = "lstm"
     dropout: float = 0.0
     compute_dtype: Any = None
+    use_pallas: bool = False  # fused Pallas sequence kernel (LSTM, fwd-only)
 
     def setup(self):
         init_fn = init_lstm_params if self.rnn_type == "lstm" else init_gru_params
@@ -262,6 +263,22 @@ class TorchRNN(nn.Module):
     def __call__(self, xs, h0=None, deterministic: bool = True):
         rng = (self.make_rng("dropout")
                if (self.dropout > 0.0 and not deterministic) else None)
+        if (self.use_pallas and self.rnn_type == "lstm"
+                and not self.bidirectional):
+            from s2vt_tpu.ops.pallas_rnn import lstm_sequence_pallas
+            out, finals = xs, []
+            for li, lp in enumerate(self.layers):
+                init = h0[li] if h0 is not None else None
+                out, fin = lstm_sequence_pallas(out, lp, init,
+                                                self.compute_dtype)
+                finals.append(fin)
+                if (self.dropout > 0.0 and not deterministic
+                        and li < self.num_layers - 1):
+                    rng, sub = jax.random.split(rng)
+                    keep = jax.random.bernoulli(sub, 1.0 - self.dropout,
+                                                out.shape)
+                    out = jnp.where(keep, out / (1.0 - self.dropout), 0.0)
+            return out, finals
         return multilayer_rnn(
             xs, self.layers, h0, self.rnn_type, self.bidirectional,
             self.dropout, rng, deterministic, self.compute_dtype)
