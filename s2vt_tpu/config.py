@@ -68,6 +68,9 @@ class Opt:
     pad_ix: int = 0
     unk_ix: int = 1
 
+    # - embedding warm start (S2VTModel.py:112-147, commented at train.py:88)
+    glove_path: str = ""  # e.g. ./data/glove.6B.512d.txt; "" disables
+
     # - decode config (S2VTModel.py:39, eval.py)
     beam_width: int = 3
     max_beam_depth: int = 30

@@ -41,7 +41,10 @@ class VideoDataset:
 
     def __init__(self, captions_file: str, feat_path: str, max_len: int = 80,
                  mode: str = "train", seed: int = 0,
-                 preload: bool = False):
+                 preload: bool = False, backend: str = "auto"):
+        """backend: 'numpy' (np.load per file), 'native' (C++ prefetching
+        reader pool, native/s2vt_loader.cpp), or 'auto' (native when the
+        toolchain can build it, else numpy)."""
         data = load_captions(captions_file)
         self.word2ix: Dict[str, int] = data["word2ix"]
         # JSON round-trip stringifies int keys (the reference indexes
@@ -65,6 +68,18 @@ class VideoDataset:
             self._cache = [np.load(str(p)).astype(np.float32) for p in self.feat_paths]
         probe = np.load(str(self.feat_paths[0]), mmap_mode="r")
         self.feat_len, self.feat_dim = int(probe.shape[0]), int(probe.shape[1])
+
+        self._native = None
+        if backend in ("auto", "native") and not preload:
+            try:
+                from s2vt_tpu.data.native_loader import NativeFeatureLoader
+                self._native = NativeFeatureLoader(
+                    [str(p) for p in self.feat_paths],
+                    self.feat_len, self.feat_dim)
+            except Exception:
+                if backend == "native":
+                    raise
+        self.backend = "native" if self._native is not None else "numpy"
 
     def __len__(self) -> int:
         return len(self.feat_paths)
@@ -96,25 +111,38 @@ class VideoDataset:
         rng = np.random.default_rng((self.seed, epoch))
         order = rng.permutation(n) if shuffle else np.arange(n)
 
-        for start in range(0, n, batch_size):
+        if drop_last:
+            order = order[:(n // batch_size) * batch_size]
+
+        native_iter = None
+        if self._native is not None and len(order):
+            native_iter = self._native.iter_batches(order, batch_size)
+
+        for start in range(0, len(order), batch_size):
             idx = order[start:start + batch_size]
-            if len(idx) < batch_size and drop_last:
-                return
             B = batch_size
-            feats = np.zeros((B, self.feat_len, self.feat_dim), np.float32)
             labels = np.zeros((B, self.max_len), np.int32)
             mask = np.zeros((B, self.max_len), np.float32)
             valid = np.zeros((B,), np.float32)
             ids = [""] * B
+            if native_iter is not None:
+                feats = next(native_iter)  # prefetched off-thread in C++
+            else:
+                feats = np.zeros((B, self.feat_len, self.feat_dim), np.float32)
             for row, i in enumerate(idx):
                 vid = self.feat_paths[i].stem
                 caps = self.captions[vid]
                 cap = caps[rng.integers(len(caps))]
                 labels[row], mask[row] = self._encode_caption(cap)
-                feats[row] = self._load_feat(i)
+                if native_iter is None:
+                    feats[row] = self._load_feat(i)
                 valid[row] = 1.0
                 ids[row] = vid
             yield Batch(feats, labels, mask, valid, tuple(ids))
+        if native_iter is not None:
+            # drain the sentinel so the loader is reusable next epoch
+            for _ in native_iter:
+                pass
 
     def steps_per_epoch(self, batch_size: int, drop_last: bool = False) -> int:
         n = len(self.feat_paths)

@@ -109,7 +109,7 @@ def _decoder_from_checkpoint(checkpoint_path: str, captions_file: str,
                       max_len=opt.train_length, mode=mode, seed=opt.seed)
     from s2vt_tpu.parallel import mesh as mesh_lib
     vocab = mesh_lib.pad_to_multiple(ds.vocab_size, opt.vocab_pad_multiple)
-    model = build_model(opt, vocab)
+    model = build_model(opt, vocab, valid_vocab=ds.vocab_size)
     restored = restore_checkpoint(checkpoint_path)
     params = jax.tree_util.tree_map(np.asarray, restored["params"])
     return CaptionDecoder(model, params, ds,

@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from s2vt_tpu.ops.layers import TorchEmbedding, TorchLinear, apply_linear, dropout
+from s2vt_tpu.ops.layers import (TorchEmbedding, TorchLinear, apply_linear,
+                                 dropout, mask_invalid_vocab)
 from s2vt_tpu.ops.rnn import TorchRNN, multilayer_step, zero_state
 
 
@@ -47,6 +48,7 @@ class AttBaseline(nn.Module):
     eos_ix: int = 4
     att_mode: str = "softmax"  # 'softmax' (intended) | 'reference_sum' (bug-compatible)
     compute_dtype: Any = None
+    valid_vocab: Optional[int] = None  # mask vocab-padding rows at decode
 
     def setup(self):
         self.encoder = TorchRNN(hidden_size=self.dim_hid, input_size=self.dim_hid,
@@ -179,6 +181,7 @@ class AttBaseline(nn.Module):
             states, h = multilayer_step(states, x, dec_layers, "lstm", cdt)
             context = attention(h)
             logits = apply_linear(h, out_w, out_b, cdt)
+            logits = mask_invalid_vocab(logits, self.valid_vocab)
             word = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return (states, context, word), word
 

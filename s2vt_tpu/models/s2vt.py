@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from s2vt_tpu.models import beam as beam_mod
-from s2vt_tpu.ops.layers import TorchEmbedding, TorchLinear, apply_linear, dropout
+from s2vt_tpu.ops.layers import (TorchEmbedding, TorchLinear, apply_linear,
+                                 dropout, mask_invalid_vocab)
 from s2vt_tpu.ops.rnn import TorchRNN, multilayer_step
 
 
@@ -51,6 +52,8 @@ class S2VT(nn.Module):
     eos_ix: int = 4
     compute_dtype: Any = None
     use_pallas: bool = False
+    valid_vocab: Optional[int] = None  # real vocab size when vocab_size is
+    #   padded (Opt.vocab_pad_multiple); decode masks the padding rows
 
     def setup(self):
         assert not self.bidirectional, "bidirectional S2VT is unsupported (as in the reference)"
@@ -167,6 +170,7 @@ class S2VT(nn.Module):
             x = jnp.concatenate([emb, vid_out_t], axis=-1)        # [B, E+H]
             states, h = multilayer_step(states, x, word_layers, rnn_type, cdt)
             logits = apply_linear(h, out_w, out_b, cdt)           # [B, V]
+            logits = mask_invalid_vocab(logits, self.valid_vocab)
             word = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return (states, word), word
 
@@ -211,6 +215,7 @@ class S2VT(nn.Module):
             x = jnp.concatenate([emb, vid_out], axis=-1)
             st2, h = multilayer_step(st2, x, word_layers, rnn_type, cdt)
             logits = apply_linear(h, out_w, out_b, cdt)
+            logits = mask_invalid_vocab(logits, self.valid_vocab)
             return (st1, st2), jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
         return beam_mod.beam_search(

@@ -15,6 +15,20 @@ param arrays (``self.weight``) instead of re-entering module scopes.
 
 from __future__ import annotations
 
+NEG_INF = -1e30
+
+
+def mask_invalid_vocab(logits, valid_vocab):
+    """Mask MXU-padding vocab rows out of decode-time logits. The vocab is
+    padded up to a multiple (Opt.vocab_pad_multiple) for tile-friendly
+    shapes and tensor-parallel sharding; padded indices never appear in
+    captions, but an untrained/warm model could still argmax into them."""
+    if valid_vocab is None or valid_vocab >= logits.shape[-1]:
+        return logits
+    import jax.numpy as _jnp
+    mask = _jnp.arange(logits.shape[-1]) < valid_vocab
+    return _jnp.where(mask, logits, NEG_INF)
+
 import math
 from typing import Any, Optional
 

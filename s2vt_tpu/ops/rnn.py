@@ -263,7 +263,11 @@ class TorchRNN(nn.Module):
     def __call__(self, xs, h0=None, deterministic: bool = True):
         rng = (self.make_rng("dropout")
                if (self.dropout > 0.0 and not deterministic) else None)
-        if (self.use_pallas and self.rnn_type == "lstm"
+        # The fused kernel targets MXU/VPU-aligned shapes; fall back to the
+        # scan path for tiny/misaligned dims (Mosaic compiles of sub-tile
+        # blocks are slow-to-pathological on real chips).
+        pallas_ok = (xs.shape[0] % 8 == 0 and self.hidden_size % 128 == 0)
+        if (self.use_pallas and pallas_ok and self.rnn_type == "lstm"
                 and not self.bidirectional):
             from s2vt_tpu.ops.pallas_rnn import lstm_sequence_pallas
             out, finals = xs, []

@@ -53,8 +53,11 @@ def batch_loss(logits: jax.Array, labels: jax.Array, mask: jax.Array,
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
-def build_model(opt: Opt, vocab_size: int):
-    """Model factory dispatching on opt.model ('s2vt' | 'att_baseline')."""
+def build_model(opt: Opt, vocab_size: int, valid_vocab: Optional[int] = None):
+    """Model factory dispatching on opt.model ('s2vt' | 'att_baseline').
+
+    ``vocab_size`` may be padded up (Opt.vocab_pad_multiple); pass the real
+    corpus vocab as ``valid_vocab`` so decode masks the padding rows."""
     cdt = jnp.bfloat16 if opt.compute_dtype == "bfloat16" else None
     if opt.model == "s2vt":
         return S2VT(vocab_size=vocab_size, feat_dim=opt.feat_dim,
@@ -63,13 +66,15 @@ def build_model(opt: Opt, vocab_size: int):
                     rnn_dropout=opt.rnn_dropout, out_dropout=opt.out_dropout,
                     num_layers=opt.num_layers, bidirectional=opt.bidirectional,
                     rnn_type=opt.rnn_type, sos_ix=opt.sos_ix, eos_ix=opt.eos_ix,
-                    compute_dtype=cdt, use_pallas=opt.use_pallas)
+                    compute_dtype=cdt, use_pallas=opt.use_pallas,
+                    valid_vocab=valid_vocab)
     if opt.model == "att_baseline":
         return AttBaseline(vocab_size=vocab_size, dim_feat=opt.feat_dim,
                            length=opt.train_length, dim_hid=opt.dim_hidden,
                            dim_embed=opt.dim_embed, feat_dropout=opt.feat_dropout,
                            out_dropout=opt.out_dropout, sos_ix=opt.sos_ix,
-                           eos_ix=opt.eos_ix, compute_dtype=cdt)
+                           eos_ix=opt.eos_ix, compute_dtype=cdt,
+                           valid_vocab=valid_vocab)
     raise ValueError(f"unknown model {opt.model!r}")
 
 
@@ -103,7 +108,8 @@ class Trainer:
 
         self.vocab_size = mesh_lib.pad_to_multiple(
             self.train_ds.vocab_size, opt.vocab_pad_multiple)
-        self.model = model or build_model(opt, self.vocab_size)
+        self.model = model or build_model(opt, self.vocab_size,
+                                          valid_vocab=self.train_ds.vocab_size)
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
 
         self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=opt.lr)
@@ -117,6 +123,11 @@ class Trainer:
             {"params": init_rng, "dropout": init_rng}, feats0, tgt0,
             mode="train", deterministic=True)
         self.params = variables["params"]
+        if opt.glove_path:
+            from s2vt_tpu.data.glove import warm_start_embedding
+            self.params = warm_start_embedding(
+                self.params, opt.glove_path, self.train_ds.word2ix,
+                seed=opt.seed)
         self.opt_state = self.tx.init(self.params)
 
         # Place params/opt_state per the mesh layout.

@@ -1,0 +1,87 @@
+"""Native C++ prefetching loader: bit-exactness vs numpy, epoch reuse,
+partial batches, and VideoDataset backend parity."""
+
+import numpy as np
+import pytest
+
+from s2vt_tpu.data import make_synthetic_corpus
+from s2vt_tpu.data.dataset import VideoDataset
+from s2vt_tpu.data.native_loader import (NativeFeatureLoader, build_native,
+                                         native_available)
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="g++ toolchain unavailable")
+
+
+@pytest.fixture(scope="module")
+def feat_files(tmp_path_factory):
+    root = tmp_path_factory.mktemp("feats")
+    rng = np.random.default_rng(0)
+    paths, arrays = [], []
+    for i in range(7):
+        a = rng.normal(size=(10, 16)).astype(np.float32)
+        p = root / f"clip{i}.npy"
+        np.save(p, a)
+        paths.append(str(p))
+        arrays.append(a)
+    return paths, arrays
+
+
+def test_build():
+    assert build_native().exists()
+
+
+def test_batches_bit_exact(feat_files):
+    paths, arrays = feat_files
+    loader = NativeFeatureLoader(paths, 10, 16, n_threads=3, queue_depth=2)
+    order = [3, 0, 6, 2, 5, 1, 4]
+    got = list(loader.iter_batches(order, batch=3))
+    assert len(got) == 3
+    flat = np.concatenate(got)[:len(order)]
+    want = np.stack([arrays[i] for i in order])
+    np.testing.assert_array_equal(flat, want)
+    # padded tail rows are zero
+    np.testing.assert_array_equal(got[-1][1:], 0.0)
+
+
+def test_epoch_reuse_different_order(feat_files):
+    paths, arrays = feat_files
+    loader = NativeFeatureLoader(paths, 10, 16)
+    for order in ([0, 1, 2, 3], [3, 2, 1, 0], [6, 5]):
+        got = np.concatenate(list(loader.iter_batches(order, batch=2)))
+        want = np.stack([arrays[i] for i in order])
+        np.testing.assert_array_equal(got[:len(order)], want)
+
+
+def test_truncates_longer_files(tmp_path):
+    a = np.arange(12 * 4, dtype=np.float32).reshape(12, 4)
+    np.save(tmp_path / "x.npy", a)
+    loader = NativeFeatureLoader([str(tmp_path / "x.npy")], 8, 4)
+    got = next(loader.iter_batches([0], 1))
+    np.testing.assert_array_equal(got[0], a[:8])
+
+
+def test_pads_shorter_files(tmp_path):
+    a = np.ones((3, 4), np.float32)
+    np.save(tmp_path / "x.npy", a)
+    loader = NativeFeatureLoader([str(tmp_path / "x.npy")], 8, 4)
+    got = next(loader.iter_batches([0], 1))
+    np.testing.assert_array_equal(got[0, :3], 1.0)
+    np.testing.assert_array_equal(got[0, 3:], 0.0)
+
+
+def test_videodataset_backend_parity(tmp_path):
+    corpus = make_synthetic_corpus(str(tmp_path), n_videos=8, feat_len=10,
+                                   feat_dim=12, seed=5)
+    kw = dict(captions_file=corpus["captions_file"],
+              feat_path=corpus["feat_path"], max_len=10, mode="train", seed=0)
+    ds_np = VideoDataset(backend="numpy", **kw)
+    ds_nat = VideoDataset(backend="native", **kw)
+    assert ds_np.backend == "numpy" and ds_nat.backend == "native"
+    for epoch in range(2):
+        for a, b in zip(ds_np.batches(3, epoch=epoch),
+                        ds_nat.batches(3, epoch=epoch)):
+            np.testing.assert_array_equal(a.feats, b.feats)
+            np.testing.assert_array_equal(a.labels, b.labels)
+            np.testing.assert_array_equal(a.valid, b.valid)
+            assert a.ids == b.ids
