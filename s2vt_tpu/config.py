@@ -86,6 +86,8 @@ class Opt:
     #   where reduction='mean' makes the mask a no-op (plain mean CE incl. pads).
     donate_state: bool = True
     log_dir: str = "./runs"
+    resume_path: str = ""    # checkpoint dir to resume training from
+    profile: bool = False    # jax.profiler trace of the first epoch -> log_dir
     vocab_pad_multiple: int = 1  # pad vocab size up to a multiple (e.g. 128
     #   for MXU-friendly logits and tensor-parallel vocab sharding); padded
     #   indices never occur in captions and are masked out of decode.

@@ -224,10 +224,18 @@ class Trainer:
         from s2vt_tpu.config import save_opt
         save_opt(opt, os.path.join(opt.save_path, opt.start_time + "opt.json"))
 
+        if opt.resume_path:
+            self.restore(opt.resume_path)
+
         epochs = opt.EPOCHS if epochs is None else epochs
         try:
             for epoch in range(epochs):
-                train_loss, cps = self.train_epoch(epoch)
+                if opt.profile and epoch == 0:
+                    from s2vt_tpu.utils.profiling import trace
+                    with trace(os.path.join(opt.log_dir, "profile")):
+                        train_loss, cps = self.train_epoch(epoch)
+                else:
+                    train_loss, cps = self.train_epoch(epoch)
                 valid_loss = self.valid_epoch(epoch)
 
                 lr = self.plateau.step(valid_loss)

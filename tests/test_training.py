@@ -99,3 +99,31 @@ def test_tensor_parallel_mesh_trains(corpus, tmp_path):
     hist = tr.fit(epochs=2)
     assert np.isfinite(hist["train_loss"]).all()
     assert hist["train_loss"][-1] < hist["train_loss"][0] * 1.5
+
+
+def test_resume_from_checkpoint(corpus, tmp_path):
+    """Opt.resume_path restores params/opt/callback state before fit."""
+    opt = small_opt(corpus, tmp_path)
+    tr = Trainer(opt, writer=None)
+    tr.fit(epochs=2)
+    path = tr.save("resume_src")
+
+    opt2 = small_opt(corpus, tmp_path, resume_path=path)
+    tr2 = Trainer(opt2, writer=None)
+    want = tr.valid_epoch(0)
+    tr2.fit(epochs=0)  # restore happens at fit() start
+    got = tr2.valid_epoch(0)
+    assert abs(got - want) < 1e-5
+
+
+def test_throughput_meter_and_timer():
+    from s2vt_tpu.utils.profiling import ThroughputMeter, Timer
+    m = ThroughputMeter(n_chips=2)
+    m.update(10)
+    m.update(10)
+    s = m.summary()
+    assert s["clips"] == 20
+    assert s["clips_per_sec_per_chip"] * 2 == pytest.approx(s["clips_per_sec"])
+    with Timer() as t:
+        pass
+    assert t.seconds >= 0.0
