@@ -118,13 +118,41 @@ class S2VT(nn.Module):
             return self.beam(feats, beam_width, max_beam_depth)
         raise ValueError(f"unknown mode {mode!r}")
 
+    def _fused_ok(self, batch: int) -> bool:
+        from s2vt_tpu.ops.pallas_s2vt import fused_shapes_ok
+        return self.use_pallas and fused_shapes_ok(
+            batch, self.dim_hid, self.dim_embed, self.num_layers,
+            self.rnn_type)
+
+    def _fused_inputs(self, feats_proj, pad_embed):
+        """Assemble the fused kernel's pre-projected time-major inputs."""
+        from s2vt_tpu.ops.rnn import input_projection
+        B, L, H = feats_proj.shape
+        vid_p = self.vid_rnn.layers[0]
+        word_p = self.word_rnn.layers[0]
+        pad = jnp.zeros((B, self.length - 1, H), feats_proj.dtype)
+        pad_feats = jnp.concatenate([feats_proj, pad], axis=1)    # [B, T, H]
+        x1 = input_projection(pad_feats, vid_p, self.compute_dtype)
+        x1 = x1 + vid_p["b_hh"].astype(jnp.float32)
+        E = self.dim_embed
+        w2e_params = {"w_ih": word_p["w_ih"][:, :E],
+                      "b_ih": word_p["b_ih"] + word_p["b_hh"]}
+        x2 = input_projection(pad_embed, w2e_params, self.compute_dtype)
+        w2v = word_p["w_ih"][:, E:]
+        return (jnp.swapaxes(x1, 0, 1), jnp.swapaxes(x2, 0, 1),
+                vid_p["w_hh"], w2v, word_p["w_hh"])
+
     def teacher_forced(self, feats, targets, deterministic=False):
-        """Training pass: one fused 2L-1 scan per RNN (S2VTModel.py:69-81).
+        """Training pass: one fused 2L-1 scan per RNN (S2VTModel.py:69-81) —
+        or, with ``use_pallas`` on aligned shapes, BOTH layers in one fused
+        Pallas kernel (ops/pallas_s2vt.py).
 
         feats: [B, L, feat_dim]; targets: [B, L-1] token ids.
         Returns logits [B, L-1, vocab].
         """
         B = feats.shape[0]
+        if self._fused_ok(B):
+            return self._teacher_forced_fused(feats, targets, deterministic)
         feats = self._project_feats(feats, deterministic)
         output1 = self._vid_pass(feats, deterministic)            # [B, 2L-1, H]
 
@@ -140,6 +168,21 @@ class S2VT(nn.Module):
         result = dropout(result, self.out_dropout, rng, deterministic)
         return self.out_linear(result)
 
+    def _teacher_forced_fused(self, feats, targets, deterministic):
+        from s2vt_tpu.ops.pallas_s2vt import s2vt_fused_out2
+        B = feats.shape[0]
+        feats = self._project_feats(feats, deterministic)
+        embed = self.embedding(targets)                           # [B, L-1, E]
+        pad = jnp.zeros((B, self.length, self.dim_embed), embed.dtype)
+        pad_embed = jnp.concatenate([pad, embed], axis=1)         # [B, 2L-1, E]
+        x1t, x2t, w1hh, w2v, w2hh = self._fused_inputs(feats, pad_embed)
+        out2 = s2vt_fused_out2(x1t, x2t, w1hh, w2v, w2hh)         # [T, B, H]
+        result = jnp.swapaxes(out2, 0, 1)[:, self.length:, :]
+        rng = (self.make_rng("dropout")
+               if (self.out_dropout > 0.0 and not deterministic) else None)
+        result = dropout(result, self.out_dropout, rng, deterministic)
+        return self.out_linear(result)
+
     def greedy(self, feats):
         """Greedy decode as a fixed-shape on-device scan (vs S2VTModel.py:82-110).
 
@@ -150,11 +193,22 @@ class S2VT(nn.Module):
         """
         B = feats.shape[0]
         feats = self._project_feats(feats, True)
-        output1 = self._vid_pass(feats, True)                     # [B, 2L-1, H]
-
-        enc_pad = jnp.zeros((B, self.length, self.dim_embed), jnp.float32)
-        input2 = jnp.concatenate([enc_pad, output1[:, :self.length, :]], axis=-1)
-        _, states2 = self.word_rnn(input2, deterministic=True)    # list per layer
+        if self._fused_ok(B):
+            from s2vt_tpu.ops.pallas_s2vt import s2vt_fused_infer
+            from s2vt_tpu.ops.rnn import LSTMState
+            T = 2 * self.length - 1
+            pad_embed = jnp.zeros((B, T, self.dim_embed), jnp.float32)
+            x1t, x2t, w1hh, w2v, w2hh = self._fused_inputs(feats, pad_embed)
+            out1, _, _, _, (h2s, c2s) = s2vt_fused_infer(
+                x1t, x2t, w1hh, w2v, w2hh, snap_idx=self.length - 1)
+            output1 = jnp.swapaxes(out1, 0, 1)                    # [B, T, H]
+            states2 = [LSTMState(h2s, c2s)]
+        else:
+            output1 = self._vid_pass(feats, True)                 # [B, 2L-1, H]
+            enc_pad = jnp.zeros((B, self.length, self.dim_embed), jnp.float32)
+            input2 = jnp.concatenate([enc_pad, output1[:, :self.length, :]],
+                                     axis=-1)
+            _, states2 = self.word_rnn(input2, deterministic=True)
 
         emb_table = self.embedding.table()
         word_layers = self.word_rnn.layers

@@ -1,0 +1,413 @@
+"""Fused dual-layer S2VT Pallas kernel: both LSTM chains in ONE kernel,
+ONE recurrent matmul per time step.
+
+The S2VT recurrence (reference S2VTModel.py:63-81) is two stacked LSTMs
+where word_rnn's step-t input contains vid_rnn's step-t OUTPUT. Run
+separately that is 2 x (2L-1) dependent matmuls; the per-step cost on TPU
+is dominated by dependent-matmul latency (~10us) and is nearly independent
+of the matmul size (measured: [64,512]x[512,2048] and [64,1024]x[1024,8192]
+both ~11us/step). This kernel therefore SOFTWARE-PIPELINES the two chains
+by one step and fuses their recurrent projections into a single
+[B, 2H] x [2H, 8H] matmul:
+
+    iteration t:  big = [h1_{t-1} | h2_{t-2}] @ W_all
+      phase A (t < T):      gates1_t = x1_t + big[:, :4H]   -> h1_t, c1_t
+      phase B (1 <= t <= T): gates2_{t-1} = x2_{t-1} + big[:, 4H:]
+                                                            -> h2_{t-1}, c2_{t-1}
+
+    W_all = [[W1hh^T, W2v^T ],      (W2v = word W_ih columns that consume
+             [0,      W2hh^T]]       vid output; the embedding columns are
+                                      pre-projected into x2 outside)
+
+Both chains' 2L-1 steps complete in ~(2L) iterations of one combined
+matmul + two cells (vs 2x(2L-1) iterations for per-layer kernels). Measured
+on one v5e at MSVD scale: full S2VT train step 15.8 -> 9.7 ms vs the
+lax.scan path (per-step time is latency-bound, so the single fused kernel
+also halves the number of kernel launches on the decode path).
+
+The backward pass is the same trick in reverse (one fused matmul produces
+dh1-chain and dh2-chain contributions), with dW/dx projections as big MXU
+einsums outside the kernel. Residual gate tensors are stored bfloat16; the
+recurrent state stays float32 inside the kernel.
+
+Used by S2VT (models/s2vt.py) when ``use_pallas`` is on, shapes are
+MXU-aligned, and num_layers == 1.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK = 1  # single-step blocks: the combined W_all (8.4MB bf16) owns the VMEM
+_INTERPRET = False
+_MATMUL_DTYPE = jnp.bfloat16  # tests set float32 for exact parity (interpret mode)
+
+
+def _interpret() -> bool:
+    return _INTERPRET or jax.default_backend() != "tpu"
+
+
+def _pad_rows(x: jax.Array, rows: int) -> jax.Array:
+    if x.shape[0] == rows:
+        return x
+    pad = jnp.zeros((rows - x.shape[0],) + x.shape[1:], x.dtype)
+    return jnp.concatenate([x, pad], axis=0)
+
+
+def _cell(gates, c_prev):
+    H = gates.shape[-1] // 4
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H:2 * H])
+    g = jnp.tanh(gates[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H:])
+    c = f * c_prev + i * g
+    h = o * jnp.tanh(c)
+    post = jnp.concatenate([i, f, g, o], axis=-1)
+    return post, c, h
+
+
+def _cell_bwd(post, c, c_prev, dh, dc_carry):
+    """LSTM cell backward: post-activation gates + dh/dc -> (dgates_pre,
+    dc_prev_partial)."""
+    H = c.shape[-1]
+    i, f = post[:, :H], post[:, H:2 * H]
+    g, o = post[:, 2 * H:3 * H], post[:, 3 * H:]
+    tanh_c = jnp.tanh(c)
+    dc = dc_carry + dh * o * (1.0 - tanh_c * tanh_c)
+    d_i = dc * g * i * (1.0 - i)
+    d_f = dc * c_prev * f * (1.0 - f)
+    d_g = dc * i * (1.0 - g * g)
+    d_o = dh * tanh_c * o * (1.0 - o)
+    dgates = jnp.concatenate([d_i, d_f, d_g, d_o], axis=-1)
+    return dgates, dc * f
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(x1_ref, x2s_ref, wall_ref, out_refs, scratch, *,
+                seq_len: int, snap_idx: int):
+    (g1_ref, c1_ref, g2s_ref, c2s_ref, h1T_ref, c1T_ref, h2T_ref, c2T_ref,
+     h2s_ref, c2snap_ref) = out_refs
+    h1_s, c1_s, h2_s, c2_s = scratch
+    i = pl.program_id(0)
+    C = x1_ref.shape[0]
+    T = seq_len
+
+    @pl.when(i == 0)
+    def _():
+        h1_s[:] = jnp.zeros_like(h1_s)
+        c1_s[:] = jnp.zeros_like(c1_s)
+        h2_s[:] = jnp.zeros_like(h2_s)
+        c2_s[:] = jnp.zeros_like(c2_s)
+
+    for k in range(C):
+        t = i * C + k
+        # ONE combined recurrent matmul serves both (pipelined) chains —
+        # two separate dots serialize on the MXU (measured 24us vs 12us).
+        z = jnp.concatenate([h1_s[:], h2_s[:]], axis=-1).astype(wall_ref.dtype)
+        big = jnp.dot(z, wall_ref[:], preferred_element_type=jnp.float32)
+        G4 = big.shape[-1] // 2
+
+        @pl.when(t < T)
+        def _():
+            post, c1, h1 = _cell(x1_ref[k] + big[:, :G4], c1_s[:])
+            g1_ref[k] = post.astype(g1_ref.dtype)
+            c1_ref[k] = c1
+            h1_s[:] = h1
+            c1_s[:] = c1
+
+            @pl.when(t == T - 1)
+            def _():
+                h1T_ref[:] = h1
+                c1T_ref[:] = c1
+
+        @pl.when(jnp.logical_and(t >= 1, t <= T))
+        def _():
+            post, c2, h2 = _cell(x2s_ref[k] + big[:, G4:], c2_s[:])
+            g2s_ref[k] = post.astype(g2s_ref.dtype)
+            c2s_ref[k] = c2
+            h2_s[:] = h2
+            c2_s[:] = c2
+
+            @pl.when(t - 1 == snap_idx)
+            def _():
+                h2s_ref[:] = h2
+                c2snap_ref[:] = c2
+
+            @pl.when(t == T)
+            def _():
+                h2T_ref[:] = h2
+                c2T_ref[:] = c2
+
+
+def _run_fwd(x1t, x2t, w_all, snap_idx: int):
+    """x1t [T, B, 4H]; x2t [T, B, 4H] (word inputs in TIME order);
+    w_all [2H, 8H] (see _assemble_wall). Returns residuals + finals; word
+    outputs are stored SHIFTED by one row (row t = step t-1)."""
+    T, B, G = x1t.shape
+    H = G // 4
+    T1 = T + 1
+    nb = -(-T1 // CHUNK)
+    rows = nb * CHUNK
+    x1p = _pad_rows(x1t, rows)
+    # shift word inputs: row t holds x2 for word step t-1
+    x2s = _pad_rows(jnp.concatenate([jnp.zeros((1, B, G), x2t.dtype), x2t],
+                                    axis=0), rows)
+    w16 = w_all.astype(_MATMUL_DTYPE)
+
+    blk = lambda i: (i, 0, 0)
+    const = lambda i: (0, 0)
+    kernel = functools.partial(_fwd_kernel, seq_len=T, snap_idx=snap_idx)
+
+    def k(*args):
+        x1_ref, x2s_ref, wall_ref = args[:3]
+        out_refs = args[3:13]
+        scratch = args[13:]
+        return kernel(x1_ref, x2s_ref, wall_ref, out_refs, scratch)
+
+    outs = pl.pallas_call(
+        k,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((CHUNK, B, G), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, B, G), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * H, 2 * G), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            [pl.BlockSpec((CHUNK, B, G), blk, memory_space=pltpu.VMEM),
+             pl.BlockSpec((CHUNK, B, H), blk, memory_space=pltpu.VMEM),
+             pl.BlockSpec((CHUNK, B, G), blk, memory_space=pltpu.VMEM),
+             pl.BlockSpec((CHUNK, B, H), blk, memory_space=pltpu.VMEM)] +
+            [pl.BlockSpec((B, H), const, memory_space=pltpu.VMEM)] * 6),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((rows, B, G), _MATMUL_DTYPE),  # gates1
+             jax.ShapeDtypeStruct((rows, B, H), jnp.float32),    # c1seq
+             jax.ShapeDtypeStruct((rows, B, G), _MATMUL_DTYPE),  # gates2 (shifted)
+             jax.ShapeDtypeStruct((rows, B, H), jnp.float32)] +  # c2seq (shifted)
+            [jax.ShapeDtypeStruct((B, H), jnp.float32)] * 6),    # finals+snap
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)] * 4,
+        interpret=_interpret(),
+    )(x1p, x2s, w16)
+    g1, c1, g2s, c2s, h1T, c1T, h2T, c2T, h2snap, c2snap = outs
+    # un-shift word outputs back to time order
+    g2 = g2s[1:T + 1]
+    c2 = c2s[1:T + 1]
+    return (g1[:T], c1[:T], g2, c2, h1T, c1T, h2T, c2T, h2snap, c2snap)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(g1r_ref, c1r_ref, c1pr_ref, g2r_ref, c2r_ref, c2pr_ref,
+                do2r_ref, wb_ref, dxp1r_ref, dxp2r_ref,
+                dg1_s, dg2_s, dc1_s, dc2_s, *, seq_len: int):
+    """Reverse sweep in 'iteration order' j (arrays pre-flipped outside):
+      phase A' at j: dgates1 for t1 = T - j   (valid j >= 1)
+      phase B' at j: dgates2 for t2 = T-1 - j (valid j <= T-1)
+    Streams: *_A rows j hold time T-j; *_B rows j hold time T-1-j."""
+    j0 = pl.program_id(0)
+    C = g1r_ref.shape[0]
+    T = seq_len
+
+    @pl.when(j0 == 0)
+    def _():
+        dg1_s[:] = jnp.zeros_like(dg1_s)
+        dg2_s[:] = jnp.zeros_like(dg2_s)
+        dc1_s[:] = jnp.zeros_like(dc1_s)
+        dc2_s[:] = jnp.zeros_like(dc2_s)
+
+    for k in range(C):
+        j = j0 * C + k
+        pair = jnp.concatenate([dg1_s[:], dg2_s[:]],
+                               axis=-1).astype(wb_ref.dtype)
+        chain = jnp.dot(pair, wb_ref[:], preferred_element_type=jnp.float32)
+        H = chain.shape[-1] // 2
+
+        # phase B': dgates2 at t2 = T-1-j
+        @pl.when(jnp.logical_and(j <= T - 1, j >= 0))
+        def _():
+            dh2 = chain[:, H:] + do2r_ref[k]
+            dgates2, dc2p = _cell_bwd(g2r_ref[k].astype(jnp.float32),
+                                      c2r_ref[k], c2pr_ref[k], dh2, dc2_s[:])
+            dxp2r_ref[k] = dgates2
+            dg2_s[:] = dgates2
+            dc2_s[:] = dc2p
+
+        # phase A': dgates1 at t1 = T-j
+        @pl.when(jnp.logical_and(j >= 1, j <= T))
+        def _():
+            dh1 = chain[:, :H]
+            dgates1, dc1p = _cell_bwd(g1r_ref[k].astype(jnp.float32),
+                                      c1r_ref[k], c1pr_ref[k], dh1, dc1_s[:])
+            dxp1r_ref[k] = dgates1
+            dg1_s[:] = dgates1
+            dc1_s[:] = dc1p
+
+
+def _rev_a(x_time, rows):
+    """Phase-A stream: row j holds time T-j (row 0 dummy)."""
+    dummy = jnp.zeros((1,) + x_time.shape[1:], x_time.dtype)
+    return _pad_rows(jnp.concatenate([dummy, jnp.flip(x_time, 0)], 0), rows)
+
+
+def _rev_b(x_time, rows):
+    """Phase-B stream: row j holds time T-1-j."""
+    return _pad_rows(jnp.flip(x_time, 0), rows)
+
+
+def _run_bwd(g1, c1, c1prev, g2, c2, c2prev, dout2, wb):
+    T, B, G = g1.shape
+    H = G // 4
+    T1 = T + 1
+    nb = -(-T1 // CHUNK)
+    rows = nb * CHUNK
+
+    g1r = _rev_a(g1, rows)
+    c1r = _rev_a(c1, rows)
+    c1pr = _rev_a(c1prev, rows)
+    g2r = _rev_b(g2, rows)
+    c2r = _rev_b(c2, rows)
+    c2pr = _rev_b(c2prev, rows)
+    do2r = _rev_b(dout2, rows)
+    wb16 = wb.astype(_MATMUL_DTYPE)
+
+    blk = lambda i: (i, 0, 0)
+    const = lambda i: (0, 0)
+    kernel = functools.partial(_bwd_kernel, seq_len=T)
+    dxp1r, dxp2r = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((CHUNK, B, G), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, B, H), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, B, H), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, B, G), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, B, H), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, B, H), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, B, H), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * G, 2 * H), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((CHUNK, B, G), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, B, G), blk, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, B, G), jnp.float32),
+            jax.ShapeDtypeStruct((rows, B, G), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, G), jnp.float32),
+            pltpu.VMEM((B, G), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(g1r, c1r, c1pr, g2r, c2r, c2pr, do2r, wb16)
+    # un-reverse: dxp1r row j -> time T-j (rows 1..T); dxp2r row j -> T-1-j
+    dxp1 = jnp.flip(dxp1r[1:T + 1], 0)
+    dxp2 = jnp.flip(dxp2r[:T], 0)
+    return dxp1, dxp2
+
+
+# ---------------------------------------------------------------------------
+# differentiable teacher-forced core
+# ---------------------------------------------------------------------------
+
+
+def _h_from(post, c):
+    G = post.shape[-1]
+    H = G // 4
+    return post[..., 3 * H:].astype(jnp.float32) * jnp.tanh(c)
+
+
+def _assemble_wall(w1hh, w2v, w2hh):
+    """[2H, 8H]: z = [h1 | h2] -> [gates1 | gates2]."""
+    G, H = w1hh.shape
+    top = jnp.concatenate([w1hh.T, w2v.T], axis=1)          # [H, 8H]
+    bot = jnp.concatenate([jnp.zeros((H, G), w1hh.dtype), w2hh.T], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def _assemble_wb(w1hh, w2v, w2hh):
+    """[8H, 2H]: [dgates1 | dgates2] -> [dh1 | dh2]."""
+    G, H = w1hh.shape
+    top = jnp.concatenate([w1hh, jnp.zeros((G, H), w1hh.dtype)], axis=1)
+    bot = jnp.concatenate([w2v, w2hh], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+@jax.custom_vjp
+def s2vt_fused_out2(x1t, x2t, w1hh, w2v, w2hh):
+    """Teacher-forced S2VT core: both LSTM layers fused.
+
+    x1t [T, B, 4H]: vid inputs pre-projected (x @ W1ih^T + b1ih + b1hh).
+    x2t [T, B, 4H]: word EMBEDDING part pre-projected
+                    (emb @ W2e^T + b2ih + b2hh); the vid-output part is
+                    added inside via w2v.
+    Returns out2 [T, B, H] (word_rnn hidden sequence).
+    """
+    out2, _ = _fused_fwd_impl(x1t, x2t, w1hh, w2v, w2hh)
+    return out2
+
+
+def _fused_fwd_impl(x1t, x2t, w1hh, w2v, w2hh):
+    res = _run_fwd(x1t, x2t, _assemble_wall(w1hh, w2v, w2hh), snap_idx=-2)
+    g1, c1, g2, c2 = res[:4]
+    out2 = _h_from(g2, c2)
+    return out2, (g1, c1, g2, c2, w1hh, w2v, w2hh)
+
+
+def _fused_fwd(x1t, x2t, w1hh, w2v, w2hh):
+    out2, resid = _fused_fwd_impl(x1t, x2t, w1hh, w2v, w2hh)
+    return out2, resid
+
+
+def _fused_bwd(resid, dout2):
+    g1, c1, g2, c2, w1hh, w2v, w2hh = resid
+    B, H = c1.shape[1], c1.shape[2]
+    zero = jnp.zeros((1, B, H), jnp.float32)
+    c1prev = jnp.concatenate([zero, c1[:-1]], axis=0)
+    c2prev = jnp.concatenate([zero, c2[:-1]], axis=0)
+    dxp1, dxp2 = _run_bwd(g1, c1, c1prev, g2, c2, c2prev, dout2,
+                          _assemble_wb(w1hh, w2v, w2hh))
+
+    h1 = _h_from(g1, c1)                                      # out1 [T, B, H]
+    h1prev = jnp.concatenate([zero, h1[:-1]], axis=0)
+    h2 = _h_from(g2, c2)
+    h2prev = jnp.concatenate([zero, h2[:-1]], axis=0)
+    f32 = jnp.float32
+    dw1hh = jnp.einsum("tbg,tbh->gh", dxp1, h1prev,
+                       preferred_element_type=f32)
+    dw2v = jnp.einsum("tbg,tbh->gh", dxp2, h1,
+                      preferred_element_type=f32)
+    dw2hh = jnp.einsum("tbg,tbh->gh", dxp2, h2prev,
+                       preferred_element_type=f32)
+    return dxp1, dxp2, dw1hh, dw2v, dw2hh
+
+
+s2vt_fused_out2.defvjp(_fused_fwd, _fused_bwd)
+
+
+def s2vt_fused_infer(x1t, x2t, w1hh, w2v, w2hh, snap_idx: int):
+    """Inference helper: returns (out1 [T,B,H], out2 [T,B,H],
+    (h1T, c1T), (h2T, c2T), (h2_snap, c2_snap) at word step snap_idx)."""
+    g1, c1, g2, c2, h1T, c1T, h2T, c2T, h2s, c2s = _run_fwd(
+        x1t, x2t, _assemble_wall(w1hh, w2v, w2hh), snap_idx=snap_idx)
+    return _h_from(g1, c1), _h_from(g2, c2), (h1T, c1T), (h2T, c2T), (h2s, c2s)
+
+
+def fused_shapes_ok(batch: int, dim_hid: int, dim_embed: int,
+                    num_layers: int, rnn_type: str) -> bool:
+    return (num_layers == 1 and rnn_type == "lstm"
+            and batch % 8 == 0 and dim_hid % 128 == 0)

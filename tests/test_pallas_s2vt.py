@@ -1,0 +1,77 @@
+"""Fused dual-layer S2VT kernel: parity vs the composed per-layer path.
+
+Runs in interpret mode on CPU with the kernel's matmul dtype forced to
+float32 so parity is exact (on TPU the fused path uses bfloat16 recurrent
+matmuls — a documented approximation of the production perf mode).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import s2vt_tpu.ops.pallas_s2vt as fused_mod
+from s2vt_tpu.models import S2VT
+
+B, L, F, H, V = 8, 6, 16, 128, 32
+E = H
+
+
+@pytest.fixture(autouse=True)
+def f32_matmuls(monkeypatch):
+    monkeypatch.setattr(fused_mod, "_MATMUL_DTYPE", jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    kw = dict(vocab_size=V, feat_dim=F, length=L, dim_hid=H, dim_embed=E,
+              sos_ix=3, eos_ix=4)
+    m_ref = S2VT(**kw)
+    m_fused = S2VT(use_pallas=True, **kw)
+    feats = jax.random.normal(jax.random.PRNGKey(0), (B, L, F))
+    tgts = jax.random.randint(jax.random.PRNGKey(1), (B, L - 1), 0, V)
+    params = m_ref.init(jax.random.PRNGKey(2), feats, tgts, mode="train",
+                        deterministic=True)
+    return m_ref, m_fused, params, feats, tgts
+
+
+def test_fused_is_engaged(setup):
+    _, m_fused, *_ = setup
+    from s2vt_tpu.ops.pallas_s2vt import fused_shapes_ok
+    assert fused_shapes_ok(B, H, E, 1, "lstm")
+
+
+def test_teacher_forced_parity(setup):
+    m_ref, m_fused, params, feats, tgts = setup
+    want = m_ref.apply(params, feats, tgts, mode="train", deterministic=True)
+    got = m_fused.apply(params, feats, tgts, mode="train", deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_gradient_parity(setup):
+    m_ref, m_fused, params, feats, tgts = setup
+
+    def loss(model):
+        def fn(p, f):
+            logits = model.apply({"params": p}, f, tgts, mode="train",
+                                 deterministic=True)
+            return jnp.sum(logits ** 2) * 1e-3
+        return fn
+
+    g_ref = jax.grad(loss(m_ref), argnums=(0, 1))(params["params"], feats)
+    g_fus = jax.grad(loss(m_fused), argnums=(0, 1))(params["params"], feats)
+    leaves_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    leaves_fus = jax.tree_util.tree_leaves(g_fus)
+    for (path, a), b in zip(leaves_ref, leaves_fus):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-3, rtol=2e-3,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_greedy_parity(setup):
+    m_ref, m_fused, params, feats, _ = setup
+    want = np.asarray(m_ref.apply(params, feats, mode="test"))
+    got = np.asarray(m_fused.apply(params, feats, mode="test"))
+    np.testing.assert_array_equal(got, want)
