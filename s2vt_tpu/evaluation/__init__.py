@@ -9,3 +9,4 @@ from s2vt_tpu.evaluation.scorer import (  # noqa: F401
     pred_to_coco_samples_IDs,
     score_predictions,
 )
+from s2vt_tpu.evaluation.coco_eval import COCOEvalCap  # noqa: F401

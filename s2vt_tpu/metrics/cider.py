@@ -87,3 +87,49 @@ class Cider:
             scores.append(float(np.mean(total)) / len(ref_counts[i]) * 10.0)
         arr = np.asarray(scores)
         return float(arr.mean()), arr
+
+
+class CiderD:
+    """CIDEr-D with a pluggable document-frequency mode, the equivalent of
+    the reference's vendored (Python-2, dead) pyciderevalcap/ciderD
+    (/root/reference/coco_caption/pyciderevalcap/ciderD/ciderD_scorer.py):
+
+     - df_mode='corpus': document frequencies from the evaluation gts
+       (identical to Cider above — the vendored main-path cider already
+       implements the CIDEr-D count-clipping + gaussian length penalty),
+     - df_mode=<dict>: precomputed corpus document frequencies (the py2
+       version loads a pickled df, e.g. from MS-COCO train), with
+       ``ref_len`` = log(#documents) of that corpus.
+    """
+
+    def __init__(self, n: int = 4, sigma: float = 6.0, df_mode="corpus",
+                 ref_len: float = None):
+        self.inner = Cider(n=n, sigma=sigma)
+        self.df_mode = df_mode
+        self.ref_len = ref_len
+
+    def method(self) -> str:
+        return "CIDEr-D"
+
+    def compute_score(self, gts: Dict, res: Dict) -> Tuple[float, np.ndarray]:
+        if isinstance(self.df_mode, str) and self.df_mode == "corpus":
+            return self.inner.compute_score(gts, res)
+        # precomputed-df path
+        assert sorted(gts.keys()) == sorted(res.keys())
+        ids = sorted(gts.keys())
+        df = self.df_mode
+        log_ref_len = (self.ref_len if self.ref_len is not None
+                       else math.log(max(2.0, float(len(ids)))))
+        inner = self.inner
+        scores = []
+        for i in ids:
+            hyp_counts = _ngram_counts(res[i][0].split(), inner.n)
+            vh, nh, lh = inner._vectorize(hyp_counts, df, log_ref_len)
+            total = np.zeros(inner.n)
+            refs = [_ngram_counts(r.split(), inner.n) for r in gts[i]]
+            for rc in refs:
+                vr, nr, lr = inner._vectorize(rc, df, log_ref_len)
+                total += inner._sim(vh, vr, nh, nr, lh, lr)
+            scores.append(float(np.mean(total)) / len(refs) * 10.0)
+        arr = np.asarray(scores)
+        return float(arr.mean()), arr
