@@ -23,6 +23,10 @@ def main():
                     help="beam search instead of greedy (eval.py:223)")
     ap.add_argument("--beam_width", type=int, default=3)
     ap.add_argument("--max_beam_depth", type=int, default=30)
+    ap.add_argument("--beam_score_mode", default="cumulative",
+                    choices=["cumulative", "reference"],
+                    help="'reference' replays the reference's last-step-logp "
+                         "beam scoring quirk (S2VTModel.py:221-223)")
     ap.add_argument("--meteor_jar", default=None,
                     help="optional meteor-1.5.jar for jar-exact METEOR")
     ap.add_argument("--dump_predictions", default=None,
@@ -34,7 +38,8 @@ def main():
     if args.beam:
         preds = beam_eval(args.model_path, args.caption_file, args.feats_path,
                           batch_size=args.batch_size, beam_width=args.beam_width,
-                          max_beam_depth=args.max_beam_depth, mode=args.split)
+                          max_beam_depth=args.max_beam_depth, mode=args.split,
+                          beam_score_mode=args.beam_score_mode)
     else:
         preds = greedy_eval(args.model_path, args.caption_file, args.feats_path,
                             batch_size=args.batch_size, mode=args.split)

@@ -75,6 +75,10 @@ class Opt:
     beam_width: int = 3
     max_beam_depth: int = 30
     length_norm_alpha: float = 0.7
+    beam_score_mode: str = "cumulative"  # 'cumulative' (intended objective)
+    #   or 'reference' (bit-faithful to the reference's last-step-logp
+    #   scoring quirk, S2VTModel.py:221-223 — verified against a
+    #   PriorityQueue oracle in tests/test_beam_oracle.py)
 
     # - TPU-native extensions
     seed: int = 0

@@ -48,7 +48,8 @@ class CaptionDecoder:
     """Jitted batch decoding over a ``VideoDataset`` split."""
 
     def __init__(self, model, params, dataset: VideoDataset,
-                 beam_width: int = 3, max_beam_depth: int = 30):
+                 beam_width: int = 3, max_beam_depth: int = 30,
+                 beam_score_mode: str = "cumulative"):
         self.model = model
         self.params = params
         self.dataset = dataset
@@ -61,7 +62,7 @@ class CaptionDecoder:
             {"params": p}, f, mode="test"))
         self._beam = jax.jit(lambda p, f: self.model.apply(
             {"params": p}, f, mode="beam_search", beam_width=beam_width,
-            max_beam_depth=max_beam_depth))
+            max_beam_depth=max_beam_depth, beam_score_mode=beam_score_mode))
 
     def _run(self, batch_size: int, decode_fn: Callable) -> Dict[str, str]:
         preds: Dict[str, str] = {}
@@ -115,7 +116,9 @@ def _decoder_from_checkpoint(checkpoint_path: str, captions_file: str,
     return CaptionDecoder(model, params, ds,
                           beam_width=kw.get("beam_width", opt.beam_width),
                           max_beam_depth=kw.get("max_beam_depth",
-                                                opt.max_beam_depth))
+                                                opt.max_beam_depth),
+                          beam_score_mode=kw.get("beam_score_mode",
+                                                 opt.beam_score_mode))
 
 
 def greedy_eval(checkpoint_path: str, captions_file: str = None,
@@ -129,9 +132,11 @@ def greedy_eval(checkpoint_path: str, captions_file: str = None,
 def beam_eval(checkpoint_path: str, captions_file: str = None,
               feats_path: str = None, batch_size: int = 10,
               beam_width: int = 3, max_beam_depth: int = 30,
-              mode: str = "test") -> Dict[str, str]:
+              mode: str = "test",
+              beam_score_mode: str = "cumulative") -> Dict[str, str]:
     """The ``beam_eval()`` entry point (eval.py:63)."""
     dec = _decoder_from_checkpoint(checkpoint_path, captions_file, feats_path,
                                    mode, beam_width=beam_width,
-                                   max_beam_depth=max_beam_depth)
+                                   max_beam_depth=max_beam_depth,
+                                   beam_score_mode=beam_score_mode)
     return dec.beam(batch_size)

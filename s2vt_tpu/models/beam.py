@@ -53,7 +53,17 @@ def _gather_states(states, parent: jax.Array):
 
 def beam_search(step_fn: Callable, init_states, *, sos_ix: int, eos_ix: int,
                 vocab_size: int, beam_width: int = 3, max_depth: int = 30,
-                alpha: float = 0.7, expand_k: int = 20) -> BeamResult:
+                alpha: float = 0.7, expand_k: int = 20,
+                score_mode: str = "cumulative") -> BeamResult:
+    """score_mode:
+      'cumulative' (default) — candidates ranked by the accumulated sequence
+        log-prob, length-normalized: sum(logp) / len^alpha (the intended
+        beam-search objective).
+      'reference' — bit-faithful to the reference's scoring quirk: each
+        BeamSearchNode is constructed with only the LAST step's token
+        log-prob (S2VTModel.py:221-223 passes ``prob``, not ``n.logp+prob``),
+        so nodes are ranked by last_token_logp / len^alpha.
+    """
     leaves = jax.tree_util.tree_leaves(init_states)
     B = leaves[0].shape[0]
     W, V = beam_width, vocab_size
@@ -85,7 +95,13 @@ def beam_search(step_fn: Callable, init_states, *, sos_ix: int, eos_ix: int,
 
         cand_cum = cum[..., None] + logp                       # [B, W, V]
         cand_len = (length + 1).astype(jnp.float32)[..., None]
-        cand_score = cand_cum / jnp.power(cand_len, alpha)
+        if score_mode == "cumulative":
+            basis = cand_cum
+        else:
+            # reference scoring uses only the step logp; dead root
+            # duplicates (cum == -inf) must still be masked out explicitly.
+            basis = jnp.where(cand_cum <= NEG_INF / 2, NEG_INF, logp)
+        cand_score = basis / jnp.power(cand_len, alpha)
 
         # Finished beams persist unchanged: a single frozen candidate at
         # the <eos> column, everything else -inf.
@@ -120,9 +136,12 @@ def beam_search(step_fn: Callable, init_states, *, sos_ix: int, eos_ix: int,
 
     # Unfinished survivors keep their running normalized score, like the
     # reference's final nodes.get() over a queue that may hold live nodes.
-    final_score = jnp.where(
-        finished, score,
-        cum / jnp.power(jnp.maximum(length, 1).astype(jnp.float32), alpha))
+    if score_mode == "cumulative":
+        final_score = jnp.where(
+            finished, score,
+            cum / jnp.power(jnp.maximum(length, 1).astype(jnp.float32), alpha))
+    else:
+        final_score = score  # carried normalized last-step score
     order = jnp.argsort(-final_score, axis=1)
     return BeamResult(
         tokens=jnp.take_along_axis(tokens, order[..., None], axis=1),

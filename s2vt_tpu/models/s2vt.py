@@ -101,7 +101,8 @@ class S2VT(nn.Module):
 
     def __call__(self, feats, targets=None, mode: str = "train",
                  beam_width: int = 3, max_beam_depth: int = 30,
-                 deterministic: Optional[bool] = None):
+                 deterministic: Optional[bool] = None,
+                 beam_score_mode: str = "cumulative"):
         """Dispatch like the reference forward (S2VTModel.py:39-61).
 
         mode='train' -> logits [B, L-1, V] (teacher forcing)
@@ -115,7 +116,8 @@ class S2VT(nn.Module):
         if mode == "test":
             return self.greedy(feats)
         if mode == "beam_search":
-            return self.beam(feats, beam_width, max_beam_depth)
+            return self.beam(feats, beam_width, max_beam_depth,
+                             score_mode=beam_score_mode)
         raise ValueError(f"unknown mode {mode!r}")
 
     def _fused_ok(self, batch: int) -> bool:
@@ -244,7 +246,8 @@ class S2VT(nn.Module):
         return states1, states2
 
     def beam(self, feats, beam_width: int = 3, max_depth: int = 30,
-             length_norm_alpha: float = 0.7, expand_k: int = 20):
+             length_norm_alpha: float = 0.7, expand_k: int = 20,
+             score_mode: str = "cumulative"):
         """Batched fixed-shape beam search (replaces S2VTModel.py:149-269)."""
         states1, states2 = self.encode_for_beam(feats)
 
@@ -276,4 +279,5 @@ class S2VT(nn.Module):
             step_fn, (states1, states2),
             sos_ix=self.sos_ix, eos_ix=self.eos_ix,
             vocab_size=self.vocab_size, beam_width=beam_width,
-            max_depth=max_depth, alpha=length_norm_alpha, expand_k=expand_k)
+            max_depth=max_depth, alpha=length_norm_alpha, expand_k=expand_k,
+            score_mode=score_mode)
