@@ -98,8 +98,11 @@ def bench_torch_reference(batch: int, iters: int) -> float:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--iters", type=int, default=10)
+    # Throughput-serving batch: decode is sequential-latency-bound per
+    # step, so large batches amortize it (64 -> 12.4k clips/s; 1024 ->
+    # ~32k; 2048 -> ~40k on one v5e). 1024 keeps batch latency ~32ms.
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--baseline-batch", type=int, default=10)  # eval.py:27
     ap.add_argument("--baseline-iters", type=int, default=3)
     ap.add_argument("--skip-baseline", action="store_true")

@@ -265,8 +265,11 @@ class TorchRNN(nn.Module):
                if (self.dropout > 0.0 and not deterministic) else None)
         # The fused kernel targets MXU/VPU-aligned shapes; fall back to the
         # scan path for tiny/misaligned dims (Mosaic compiles of sub-tile
-        # blocks are slow-to-pathological on real chips).
-        pallas_ok = (xs.shape[0] % 8 == 0 and self.hidden_size % 128 == 0)
+        # blocks are slow-to-pathological on real chips) and for large
+        # batches (B > 128 blows the VMEM budget, and at that size the XLA
+        # scan's bigger per-step matmuls amortize latency better anyway).
+        pallas_ok = (xs.shape[0] % 8 == 0 and xs.shape[0] <= 128
+                     and self.hidden_size % 128 == 0)
         if (self.use_pallas and pallas_ok and self.rnn_type == "lstm"
                 and not self.bidirectional):
             from s2vt_tpu.ops.pallas_rnn import lstm_sequence_pallas
