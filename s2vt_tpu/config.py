@@ -92,6 +92,9 @@ class Opt:
     log_dir: str = "./runs"
     resume_path: str = ""    # checkpoint dir to resume training from
     profile: bool = False    # jax.profiler trace of the first epoch -> log_dir
+    metric_eval_freq: int = 0  # every N epochs: greedy-decode the valid
+    #   split and log BLEU/METEOR/ROUGE-L/CIDEr (0 = off; new capability,
+    #   the reference only tracks losses)
     vocab_pad_multiple: int = 1  # pad vocab size up to a multiple (e.g. 128
     #   for MXU-friendly logits and tensor-parallel vocab sharding); padded
     #   indices never occur in captions and are masked out of decode.

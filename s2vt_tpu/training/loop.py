@@ -246,6 +246,9 @@ class Trainer:
                 self.history["lr"].append(lr)
                 self.history["clips_per_sec"].append(cps)
                 self._log_epoch(epoch, train_loss, valid_loss, lr)
+                if (opt.metric_eval_freq > 0
+                        and (epoch + 1) % opt.metric_eval_freq == 0):
+                    self._metric_eval(epoch)
 
                 if on_epoch_end is not None:
                     on_epoch_end(self, epoch)
@@ -275,6 +278,31 @@ class Trainer:
             for path, leaf in flat:
                 name = "/".join(getattr(k, "key", str(k)) for k in path)
                 self.writer.add_histogram(name, np.asarray(leaf), epoch)
+
+    def _metric_eval(self, epoch: int) -> Optional[dict]:
+        """Greedy-decode the valid split and log BLEU/METEOR/ROUGE/CIDEr
+        (new capability — the reference only tracks losses)."""
+        import json
+
+        from s2vt_tpu.evaluation.decode import CaptionDecoder
+        from s2vt_tpu.evaluation.scorer import score_predictions
+
+        try:
+            with open(self.opt.gts_file, encoding="utf-8") as f:
+                gts = json.load(f)["gts"]
+        except FileNotFoundError:
+            return None
+        dec = CaptionDecoder(self.model, jax.device_get(self.params),
+                             self.valid_ds)
+        preds = dec.greedy(self.opt.eval_batch_size)
+        scores = score_predictions(preds, gts, verbose=False)
+        self.history.setdefault("metrics", []).append(
+            {"epoch": epoch, **scores})
+        if self.writer is not None:
+            for name, value in scores.items():
+                self.writer.add_scalar(f"valid/{name}", value,
+                                       global_step=epoch)
+        return scores
 
     def save(self, tag: str) -> str:
         path = os.path.join(self.opt.save_path, self.opt.start_time + tag)

@@ -127,3 +127,25 @@ def test_throughput_meter_and_timer():
     with Timer() as t:
         pass
     assert t.seconds >= 0.0
+
+
+def test_metric_eval_during_training(corpus, tmp_path):
+    opt = small_opt(corpus, tmp_path, metric_eval_freq=2)
+    tr = Trainer(opt, writer=None)
+    hist = tr.fit(epochs=2)
+    assert "metrics" in hist or "metrics" in tr.history
+    entry = tr.history["metrics"][0]
+    assert entry["epoch"] == 1
+    assert {"Bleu_1", "METEOR", "ROUGE_L", "CIDEr"} <= set(entry)
+
+
+def test_host_local_batch_to_global():
+    from s2vt_tpu.parallel import make_mesh
+    from s2vt_tpu.parallel.distributed import (host_local_batch_to_global,
+                                               local_batch_size)
+    mesh = make_mesh()
+    a = np.arange(16, dtype=np.float32).reshape(8, 2)
+    (g,) = host_local_batch_to_global(mesh, a)
+    assert g.shape == (8, 2)
+    np.testing.assert_array_equal(np.asarray(g), a)
+    assert local_batch_size(16) == 16  # single process
