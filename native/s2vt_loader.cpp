@@ -103,7 +103,14 @@ struct Loader {
   std::condition_variable cv;
   std::vector<std::thread> workers;
   std::atomic<bool> stop{false};
-  std::atomic<int> epoch_id{0};
+  // Epoch lifecycle: begin() sets abandon_gen = start_gen (invalidating any
+  // epoch workers have started), waits for busy == 0, mutates state, then
+  // bumps start_gen to release the pool. Workers never touch epoch state
+  // while begin() mutates it.
+  std::atomic<long> start_gen{0};
+  std::atomic<long> abandon_gen{-1};
+  std::atomic<int> busy{0};
+  std::atomic<long> failed{0};  // count of unreadable/mismatched files
 
   ~Loader() {
     stop.store(true);
@@ -137,32 +144,39 @@ struct Loader {
   }
 
   void worker() {
-    int my_epoch = -1;
+    long seen = 0;
     while (!stop.load()) {
       {
         std::unique_lock<std::mutex> lk(mu);
         cv.wait(lk, [&] {
-          return stop.load() || epoch_id.load() != my_epoch;
+          return stop.load() || start_gen.load() > seen;
         });
         if (stop.load()) return;
-        my_epoch = epoch_id.load();
+        seen = start_gen.load();
+        busy.fetch_add(1);
       }
       // Claim row tasks in order. A claimed task is NEVER returned (a
       // returned task could be double-claimed and leave a slot's
       // `remaining` count stranded => deadlock); instead the worker waits
-      // until the consumer advances produce_limit to cover it.
+      // until the consumer advances produce_limit to cover it, or the
+      // epoch is abandoned (begin() called before the epoch drained).
       while (true) {
+        if (abandon_gen.load() >= seen) break;
         int task = next_task.fetch_add(1);
         int total = n_batches * batch;
         if (task >= total) break;  // epoch drained for this worker
         if (task >= produce_limit.load() * batch) {
           std::unique_lock<std::mutex> lk(mu);
           cv.wait(lk, [&] {
-            return stop.load() || epoch_id.load() != my_epoch ||
+            return stop.load() || abandon_gen.load() >= seen ||
                    task < produce_limit.load() * batch;
           });
-          if (stop.load()) return;
-          if (epoch_id.load() != my_epoch) break;  // task abandoned safely
+          if (stop.load()) {
+            busy.fetch_sub(1);
+            cv.notify_all();
+            return;
+          }
+          if (abandon_gen.load() >= seen) break;
         }
         int b = task / batch;
         int r = task % batch;
@@ -170,7 +184,10 @@ struct Loader {
         long stride = feat_len * feat_dim;
         int oi = b * batch + r;
         if (oi < static_cast<int>(order.size())) {
-          load_file(order[oi], slot.data.data() + r * stride);
+          if (!load_file(order[oi], slot.data.data() + r * stride)) {
+            memset(slot.data.data() + r * stride, 0, sizeof(float) * stride);
+            failed.fetch_add(1);
+          }
         } else {
           memset(slot.data.data() + r * stride, 0, sizeof(float) * stride);
         }
@@ -179,6 +196,11 @@ struct Loader {
           slot.ready = true;
           cv.notify_all();
         }
+      }
+      busy.fetch_sub(1);
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        cv.notify_all();
       }
     }
   }
@@ -204,7 +226,12 @@ void* s2vt_loader_create(const char* const* paths, int n_files, long feat_len,
 
 void s2vt_loader_begin(void* h, const int* order, int n, int batch) {
   auto* L = static_cast<Loader*>(h);
-  std::lock_guard<std::mutex> lk(L->mu);
+  std::unique_lock<std::mutex> lk(L->mu);
+  // Invalidate any in-flight epoch and wait for the pool to quiesce before
+  // mutating shared state (prevents use-after-free of the old ring).
+  L->abandon_gen.store(L->start_gen.load());
+  L->cv.notify_all();
+  L->cv.wait(lk, [&] { return L->busy.load() == 0; });
   L->order.assign(order, order + n);
   L->batch = batch;
   L->n_batches = (n + batch - 1) / batch;
@@ -221,8 +248,14 @@ void s2vt_loader_begin(void* h, const int* order, int n, int batch) {
   L->next_task.store(0);
   L->consume_idx = 0;
   L->produce_limit.store(L->depth < L->n_batches ? L->depth : L->n_batches);
-  L->epoch_id.fetch_add(1);
+  L->start_gen.fetch_add(1);
   L->cv.notify_all();
+}
+
+// Number of files that failed to load (missing, wrong dtype/shape, short
+// read) since creation. The Python wrapper raises when this advances.
+long s2vt_loader_failed(void* h) {
+  return static_cast<Loader*>(h)->failed.load();
 }
 
 // Blocks until the next batch is assembled; copies it to out and returns the

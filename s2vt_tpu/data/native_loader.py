@@ -20,31 +20,42 @@ from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
-_SRC = pathlib.Path(__file__).resolve().parent.parent.parent / "native" / "s2vt_loader.cpp"
+_NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent.parent / "native"
+_SRC = _NATIVE_DIR / "s2vt_loader.cpp"
 _BUILD_LOCK = threading.Lock()
 _LIB = None
 
 
+def _cache_dir() -> pathlib.Path:
+    return pathlib.Path(os.environ.get(
+        "S2VT_NATIVE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "s2vt_tpu")))
+
+
 def _lib_path() -> pathlib.Path:
-    cache = os.environ.get("S2VT_NATIVE_CACHE",
-                           os.path.join(os.path.expanduser("~"), ".cache",
-                                        "s2vt_tpu"))
-    return pathlib.Path(cache) / "libs2vt_loader.so"
+    return _cache_dir() / "libs2vt_loader.so"
 
 
-def build_native(force: bool = False) -> pathlib.Path:
-    """Compile the loader shared library (cached)."""
-    out = _lib_path()
+def build_lib(src: pathlib.Path, lib_name: str,
+              force: bool = False) -> pathlib.Path:
+    """Compile one of the native/ C++ sources to a cached shared library
+    (shared by the feature loader and the RLE mask ops)."""
+    out = _cache_dir() / lib_name
     with _BUILD_LOCK:
         if out.exists() and not force and \
-                out.stat().st_mtime >= _SRC.stat().st_mtime:
+                out.stat().st_mtime >= src.stat().st_mtime:
             return out
         out.parent.mkdir(parents=True, exist_ok=True)
         subprocess.run(
             ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-             str(_SRC), "-o", str(out)],
+             str(src), "-o", str(out)],
             check=True, capture_output=True)
     return out
+
+
+def build_native(force: bool = False) -> pathlib.Path:
+    """Compile the loader shared library (cached)."""
+    return build_lib(_SRC, "libs2vt_loader.so", force)
 
 
 def _load_lib():
@@ -62,6 +73,8 @@ def _load_lib():
     lib.s2vt_loader_next.restype = ctypes.c_int
     lib.s2vt_loader_next.argtypes = [ctypes.c_void_p,
                                      ctypes.POINTER(ctypes.c_float)]
+    lib.s2vt_loader_failed.restype = ctypes.c_long
+    lib.s2vt_loader_failed.argtypes = [ctypes.c_void_p]
     lib.s2vt_loader_destroy.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
@@ -104,6 +117,7 @@ class NativeFeatureLoader:
             order_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             len(order_arr), batch)
         self._in_flight = True
+        failed0 = self._lib.s2vt_loader_failed(self._handle)
         try:
             while True:
                 out = np.empty((batch, self.feat_len, self.feat_dim),
@@ -111,6 +125,11 @@ class NativeFeatureLoader:
                 valid = self._lib.s2vt_loader_next(
                     self._handle,
                     out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+                n_failed = self._lib.s2vt_loader_failed(self._handle) - failed0
+                if n_failed:
+                    raise RuntimeError(
+                        f"{n_failed} feature file(s) failed to load "
+                        f"(missing, wrong dtype/shape, or truncated .npy)")
                 if valid == 0:
                     break
                 yield out

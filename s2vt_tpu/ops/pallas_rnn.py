@@ -45,6 +45,15 @@ def _interpret() -> bool:
     return _INTERPRET or jax.default_backend() != "tpu"
 
 
+def pallas_shapes_ok(batch: int, hidden: int) -> bool:
+    """Single source of truth for the Pallas-kernel shape gate (per-layer
+    and fused kernels): MXU/VPU alignment, and the small-batch
+    latency-optimized regime — above B=128 the kernels exceed the 16MB
+    VMEM budget and XLA's larger per-step matmuls amortize the sequential
+    latency better anyway."""
+    return batch % 8 == 0 and batch <= 128 and hidden % 128 == 0
+
+
 def _pad_time(x: jax.Array, t_pad: int) -> jax.Array:
     T = x.shape[0]
     if t_pad == T:

@@ -409,8 +409,6 @@ def s2vt_fused_infer(x1t, x2t, w1hh, w2v, w2hh, snap_idx: int):
 
 def fused_shapes_ok(batch: int, dim_hid: int, dim_embed: int,
                     num_layers: int, rnn_type: str) -> bool:
-    """Latency-optimized regime: small aligned batches. Above B=128 the
-    VMEM budget is blown and XLA's larger per-step matmuls amortize the
-    sequential latency better than the fused kernel."""
+    from s2vt_tpu.ops.pallas_rnn import pallas_shapes_ok
     return (num_layers == 1 and rnn_type == "lstm"
-            and batch % 8 == 0 and batch <= 128 and dim_hid % 128 == 0)
+            and pallas_shapes_ok(batch, dim_hid))

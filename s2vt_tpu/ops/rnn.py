@@ -263,15 +263,12 @@ class TorchRNN(nn.Module):
     def __call__(self, xs, h0=None, deterministic: bool = True):
         rng = (self.make_rng("dropout")
                if (self.dropout > 0.0 and not deterministic) else None)
-        # The fused kernel targets MXU/VPU-aligned shapes; fall back to the
-        # scan path for tiny/misaligned dims (Mosaic compiles of sub-tile
-        # blocks are slow-to-pathological on real chips) and for large
-        # batches (B > 128 blows the VMEM budget, and at that size the XLA
-        # scan's bigger per-step matmuls amortize latency better anyway).
-        pallas_ok = (xs.shape[0] % 8 == 0 and xs.shape[0] <= 128
-                     and self.hidden_size % 128 == 0)
-        if (self.use_pallas and pallas_ok and self.rnn_type == "lstm"
-                and not self.bidirectional):
+        # Fall back to the scan path for tiny/misaligned dims (Mosaic
+        # compiles of sub-tile blocks are slow-to-pathological on real
+        # chips) and for large batches — see pallas_shapes_ok.
+        from s2vt_tpu.ops.pallas_rnn import pallas_shapes_ok
+        if (self.use_pallas and pallas_shapes_ok(xs.shape[0], self.hidden_size)
+                and self.rnn_type == "lstm" and not self.bidirectional):
             from s2vt_tpu.ops.pallas_rnn import lstm_sequence_pallas
             out, finals = xs, []
             for li, lp in enumerate(self.layers):

@@ -21,16 +21,24 @@ def initialize(coordinator_address: Optional[str] = None,
                process_id: Optional[int] = None) -> None:
     """``jax.distributed.initialize`` wrapper. On TPU pods the arguments
     are auto-detected from the environment; pass them explicitly for
-    CPU/GPU clusters. No-op when already initialized or single-process."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    CPU/GPU clusters.
+
+    MUST be called before any other jax API touches a backend (even
+    ``jax.process_count()`` initializes one). Safe to call twice (the
+    'already initialized' RuntimeError is absorbed); a missing coordinator
+    on a single-process run is a no-op; any other failure propagates."""
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except (ValueError, RuntimeError):
-        # single-process environment (no coordinator configured)
-        pass
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return
+        raise
+    except ValueError:
+        if coordinator_address or num_processes:
+            raise  # explicit multi-process config that failed: surface it
+        # single-process environment without a coordinator: no-op
 
 
 def host_local_batch_to_global(mesh, *arrays, batch_axis: str = "data"):

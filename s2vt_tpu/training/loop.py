@@ -292,8 +292,12 @@ class Trainer:
                 gts = json.load(f)["gts"]
         except FileNotFoundError:
             return None
-        dec = CaptionDecoder(self.model, jax.device_get(self.params),
-                             self.valid_ds)
+        # Build the decoder (and its jitted decode fn) once; swap params in.
+        if not hasattr(self, "_metric_decoder"):
+            self._metric_decoder = CaptionDecoder(self.model, None,
+                                                  self.valid_ds)
+        dec = self._metric_decoder
+        dec.params = self.params
         preds = dec.greedy(self.opt.eval_batch_size)
         scores = score_predictions(preds, gts, verbose=False)
         self.history.setdefault("metrics", []).append(

@@ -16,7 +16,6 @@ zero-run).
 from __future__ import annotations
 
 import ctypes
-import subprocess
 import threading
 import pathlib
 from typing import Dict, List, Sequence
@@ -35,13 +34,8 @@ def _load():
     with _LOCK:
         if _LIB is not None:
             return _LIB
-        from s2vt_tpu.data.native_loader import _lib_path
-        out = _lib_path().parent / "libs2vt_mask.so"
-        if not out.exists() or out.stat().st_mtime < _SRC.stat().st_mtime:
-            out.parent.mkdir(parents=True, exist_ok=True)
-            subprocess.run(["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                            str(_SRC), "-o", str(out)],
-                           check=True, capture_output=True)
+        from s2vt_tpu.data.native_loader import build_lib
+        out = build_lib(_SRC, "libs2vt_mask.so")
         lib = ctypes.CDLL(str(out))
         u32p = ctypes.POINTER(ctypes.c_uint32)
         u8p = ctypes.POINTER(ctypes.c_uint8)

@@ -85,3 +85,35 @@ def test_videodataset_backend_parity(tmp_path):
             np.testing.assert_array_equal(a.labels, b.labels)
             np.testing.assert_array_equal(a.valid, b.valid)
             assert a.ids == b.ids
+
+
+def test_failure_raises(tmp_path):
+    good = np.ones((4, 3), np.float32)
+    np.save(tmp_path / "good.npy", good)
+    (tmp_path / "bad.npy").write_bytes(b"not an npy file")
+    loader = NativeFeatureLoader([str(tmp_path / "good.npy"),
+                                  str(tmp_path / "bad.npy")], 4, 3)
+    with pytest.raises(RuntimeError, match="failed to load"):
+        list(loader.iter_batches([0, 1], batch=2))
+
+
+def test_wrong_dtype_raises(tmp_path):
+    np.save(tmp_path / "f64.npy", np.ones((4, 3), np.float64))
+    loader = NativeFeatureLoader([str(tmp_path / "f64.npy")], 4, 3)
+    with pytest.raises(RuntimeError, match="failed to load"):
+        list(loader.iter_batches([0], batch=1))
+
+
+def test_abandoned_epoch_then_new_epoch(feat_files):
+    """Breaking out of an epoch mid-way must not corrupt the next one
+    (begin() waits for the worker pool to quiesce)."""
+    paths, arrays = feat_files
+    loader = NativeFeatureLoader(paths, 10, 16, n_threads=3, queue_depth=2)
+    for trial in range(5):
+        it = loader.iter_batches([0, 1, 2, 3, 4, 5], batch=2)
+        next(it)          # consume one batch
+        it.close()        # abandon the epoch mid-flight
+        order = [5, 4, 3]
+        got = np.concatenate(list(loader.iter_batches(order, batch=2)))
+        want = np.stack([arrays[i] for i in order])
+        np.testing.assert_array_equal(got[:3], want)
