@@ -17,6 +17,7 @@
 //   bb_iou(dt[4], gt[4], iscrowd) -> double
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <vector>
 
@@ -176,6 +177,78 @@ double bb_iou(const double* dt, const double* gt, int iscrowd) {
   double inter = std::max(0.0, x1 - x0) * std::max(0.0, y1 - y0);
   double denom = iscrowd ? a_dt : (a_dt + a_gt - inter);
   return denom > 0 ? inter / denom : 0.0;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// COCO compressed RLE string (the pycocotools rleToString/rleFrString
+// LEB128 variant with delta coding from the second-previous count).
+long rle_to_string(const uint32_t* counts, long n, char* out, long max_len) {
+  long p = 0;
+  for (long i = 0; i < n; ++i) {
+    long x = static_cast<long>(counts[i]);
+    if (i > 2) x -= static_cast<long>(counts[i - 2]);
+    bool more = true;
+    while (more) {
+      char c = x & 0x1f;
+      x >>= 5;
+      more = (c & 0x10) ? x != -1 : x != 0;
+      if (more) c |= 0x20;
+      c += 48;
+      if (p >= max_len) return -1;
+      out[p++] = c;
+    }
+  }
+  return p;
+}
+
+long rle_from_string(const char* s, long len, uint32_t* out, long max_n) {
+  long p = 0, n = 0;
+  while (p < len) {
+    long x = 0;
+    int k = 0;
+    bool more = true;
+    while (more) {
+      if (p >= len) return -1;
+      char c = s[p] - 48;
+      x |= static_cast<long>(c & 0x1f) << (5 * k);
+      more = (c & 0x20) != 0;
+      p++;
+      k++;
+      if (!more && (c & 0x10)) x |= -1L << (5 * k);
+    }
+    if (n > 2) x += static_cast<long>(out[n - 2]);
+    if (n >= max_n) return -1;
+    out[n++] = static_cast<uint32_t>(x);
+  }
+  return n;
+}
+
+// Rasterize a polygon (xy pairs, pycocotools convention) to a row-major
+// mask via even-odd scanline fill; caller encodes to RLE.
+void poly_to_mask(const double* xy, long npts, long h, long w, uint8_t* out) {
+  for (long y = 0; y < h; ++y) {
+    double yc = y + 0.5;
+    // collect x-crossings of the scanline with polygon edges
+    std::vector<double> xs;
+    for (long i = 0; i < npts; ++i) {
+      long j = (i + 1) % npts;
+      double x0 = xy[2 * i], y0 = xy[2 * i + 1];
+      double x1 = xy[2 * j], y1 = xy[2 * j + 1];
+      if ((y0 <= yc && y1 > yc) || (y1 <= yc && y0 > yc)) {
+        xs.push_back(x0 + (yc - y0) * (x1 - x0) / (y1 - y0));
+      }
+    }
+    std::sort(xs.begin(), xs.end());
+    for (size_t k = 0; k + 1 < xs.size(); k += 2) {
+      long xa = static_cast<long>(std::max(0.0, std::ceil(xs[k] - 0.5)));
+      long xb = static_cast<long>(
+          std::min(static_cast<double>(w - 1), std::floor(xs[k + 1] - 0.5)));
+      for (long x = xa; x <= xb; ++x) out[y * w + x] = 1;
+    }
+  }
 }
 
 }  // extern "C"

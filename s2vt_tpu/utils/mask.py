@@ -159,3 +159,59 @@ def frBbox(bbox: Sequence[float], h: int, w: int) -> Dict:
     mask = np.zeros((h, w), np.uint8)
     mask[max(y, 0):min(y + bh, h), max(x, 0):min(x + bw, w)] = 1
     return encode(mask)
+
+
+def _load_ext():
+    lib = _load()
+    if not hasattr(lib, "_ext_ready"):
+        lib.rle_to_string.restype = ctypes.c_long
+        lib.rle_to_string.argtypes = [ctypes.POINTER(ctypes.c_uint32),
+                                      ctypes.c_long, ctypes.c_char_p,
+                                      ctypes.c_long]
+        lib.rle_from_string.restype = ctypes.c_long
+        lib.rle_from_string.argtypes = [ctypes.c_char_p, ctypes.c_long,
+                                        ctypes.POINTER(ctypes.c_uint32),
+                                        ctypes.c_long]
+        lib.poly_to_mask.argtypes = [ctypes.POINTER(ctypes.c_double),
+                                     ctypes.c_long, ctypes.c_long,
+                                     ctypes.c_long,
+                                     ctypes.POINTER(ctypes.c_uint8)]
+        lib._ext_ready = True
+    return lib
+
+
+def toString(rle: Dict) -> bytes:
+    """Counts -> COCO compressed RLE string (pycocotools rleToString:
+    LEB128 base-48 with delta coding from the second-previous count)."""
+    lib = _load_ext()
+    counts = _u32(rle["counts"])
+    buf = ctypes.create_string_buffer(6 * max(len(counts), 1) + 8)
+    n = lib.rle_to_string(_ptr(counts, ctypes.c_uint32), len(counts), buf,
+                          len(buf))
+    assert n >= 0
+    return buf.raw[:n]
+
+
+def frString(s: bytes, h: int, w: int) -> Dict:
+    """COCO compressed RLE string -> counts RLE."""
+    lib = _load_ext()
+    out = np.zeros(max(len(s), 1) + 2, np.uint32)
+    n = lib.rle_from_string(s, len(s), _ptr(out, ctypes.c_uint32), len(out))
+    if n < 0:
+        raise ValueError("invalid RLE string")
+    return {"size": [h, w], "counts": out[:n].copy()}
+
+
+def frPoly(polys: Sequence[Sequence[float]], h: int, w: int) -> Dict:
+    """Polygon(s) [x0,y0,x1,y1,...] -> RLE (union of filled polygons,
+    even-odd scanline rasterization)."""
+    lib = _load_ext()
+    rles = []
+    for poly in polys:
+        xy = np.ascontiguousarray(poly, np.float64)
+        assert xy.size % 2 == 0 and xy.size >= 6, "need >= 3 xy points"
+        out = np.zeros(h * w, np.uint8)
+        lib.poly_to_mask(_ptr(xy, ctypes.c_double), xy.size // 2, h, w,
+                         _ptr(out, ctypes.c_uint8))
+        rles.append(encode(out.reshape(h, w)))
+    return merge(rles) if len(rles) > 1 else rles[0]

@@ -75,3 +75,35 @@ def test_empty_and_full_masks():
     assert np.array_equal(m.decode(m.encode(empty)), empty)
     assert np.array_equal(m.decode(m.encode(full)), full)
     np.testing.assert_allclose(m.toBbox(m.encode(empty)), [0, 0, 0, 0])
+
+
+def test_string_roundtrip():
+    for seed in range(4):
+        x = _rand_mask(15, 11, seed)
+        rle = m.encode(x)
+        s = m.toString(rle)
+        assert isinstance(s, bytes) and len(s) > 0
+        back = m.frString(s, 15, 11)
+        np.testing.assert_array_equal(back["counts"], rle["counts"])
+        np.testing.assert_array_equal(m.decode(back), x)
+
+
+def test_fr_poly_rectangle():
+    # rectangle polygon == frBbox fill
+    rle = m.frPoly([[2, 3, 9, 3, 9, 7, 2, 7]], 10, 12)
+    want = np.zeros((10, 12), np.uint8)
+    want[3:7, 2:9] = 1
+    np.testing.assert_array_equal(m.decode(rle), want)
+
+
+def test_fr_poly_triangle_area():
+    rle = m.frPoly([[0, 0, 20, 0, 0, 20]], 20, 20)
+    # half the 20x20 square, rasterized: ~200 +- boundary
+    assert abs(m.area(rle) - 200) < 25
+
+
+def test_fr_poly_union():
+    rle = m.frPoly([[0, 0, 4, 0, 4, 4, 0, 4], [6, 6, 9, 6, 9, 9, 6, 9]],
+                   12, 12)
+    dec = m.decode(rle)
+    assert dec[1, 1] == 1 and dec[7, 7] == 1 and dec[5, 5] == 0
