@@ -67,3 +67,30 @@ def params_from_torch_state_dict(state_dict: Mapping) -> dict:
             continue
         raise KeyError(f"unrecognized reference checkpoint key: {key!r}")
     return params
+
+
+def load_reference_checkpoint(path: str, reference_repo: str = None) -> dict:
+    """Load a reference ``.pth`` (a whole pickled nn.Module,
+    /root/reference/train.py:165-175) and convert to a flax param tree.
+
+    Unpickling a whole module requires the class definition importable
+    under its original module name (the reference pickles reference
+    ``S2VTModel.S2VT`` / ``attention_baseline.Att_Baseline`` classes);
+    pass ``reference_repo`` to put that checkout on sys.path for the load.
+    Plain state_dict checkpoints load without it.
+    """
+    import sys
+
+    import torch
+
+    if reference_repo is not None and reference_repo not in sys.path:
+        sys.path.insert(0, reference_repo)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    finally:
+        if reference_repo is not None and sys.path and \
+                sys.path[0] == reference_repo:
+            sys.path.pop(0)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    return params_from_torch_state_dict(obj)

@@ -128,3 +128,41 @@ def test_linear_matches_torch():
                        jnp.asarray(lin.weight.detach().numpy()),
                        jnp.asarray(lin.bias.detach().numpy()))
     np.testing.assert_allclose(np.asarray(j_y), t_y.numpy(), atol=ATOL)
+
+
+def test_load_reference_checkpoint_whole_module(tmp_path):
+    """Round-trip a whole-module pickle the way the reference saves models
+    (torch.save(model), train.py:165-175): the class lives in its own
+    module file, exactly like unpickling a real reference checkpoint."""
+    import sys
+    import textwrap
+
+    import torch
+
+    repo = tmp_path / "refrepo"
+    repo.mkdir()
+    (repo / "S2VTModel.py").write_text(textwrap.dedent("""
+        import torch.nn as nn
+
+        class S2VT(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.vid_rnn = nn.LSTM(8, 8, batch_first=True)
+                self.feat_linear = nn.Linear(4, 8)
+                self.embedding = nn.Embedding(10, 8)
+    """))
+    sys.path.insert(0, str(repo))
+    try:
+        import S2VTModel as ref_mod
+        model = ref_mod.S2VT()
+        torch.save(model, tmp_path / "ckpt.pth")
+        del sys.modules["S2VTModel"]
+    finally:
+        sys.path.pop(0)
+
+    from s2vt_tpu.utils.torch_import import load_reference_checkpoint
+    params = load_reference_checkpoint(str(tmp_path / "ckpt.pth"),
+                                       reference_repo=str(repo))
+    assert params["vid_rnn"]["l0"]["w_ih"].shape == (32, 8)
+    assert params["feat_linear"]["weight"].shape == (8, 4)
+    assert params["embedding"]["weight"].shape == (10, 8)
