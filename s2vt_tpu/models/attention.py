@@ -97,15 +97,22 @@ class AttBaseline(nn.Module):
         return enc_outputs                                          # [B, L, 2H]
 
     def __call__(self, feats, targets=None, mode: str = "train",
-                 deterministic: Optional[bool] = None):
+                 deterministic: Optional[bool] = None,
+                 beam_width: int = 3, max_beam_depth: int = 30,
+                 beam_score_mode: str = "cumulative"):
         if deterministic is None:
             deterministic = mode != "train"
         if mode == "train":
             return self.teacher_forced(feats, targets, deterministic)
         if mode == "test":
             return self.greedy(feats)
-        raise ValueError(f"unknown mode {mode!r} (AttBaseline has no beam mode, "
-                         "matching attention_baseline.py)")
+        if mode == "beam_search":
+            # Capability EXTENSION: the reference's Att_Baseline has no beam
+            # mode (attention_baseline.py); the batched on-device search is
+            # generic over step functions, so it comes for free here.
+            return self.beam(feats, beam_width, max_beam_depth,
+                             score_mode=beam_score_mode)
+        raise ValueError(f"unknown mode {mode!r}")
 
     def teacher_forced(self, feats, targets, deterministic=False):
         """Teacher forcing: L-1 decode steps as one scan
@@ -188,3 +195,52 @@ class AttBaseline(nn.Module):
         _, tokens = jax.lax.scan(step, (state0, context0, sos), None,
                                  length=self.length)
         return jnp.swapaxes(tokens, 0, 1)                           # [B, L]
+
+    def beam(self, feats, beam_width: int = 3, max_depth: int = 30,
+             length_norm_alpha: float = 0.7, expand_k: int = 20,
+             score_mode: str = "cumulative"):
+        """Batched beam search over the attention decoder (extension —
+        not present in the reference)."""
+        from s2vt_tpu.models import beam as beam_mod
+        from s2vt_tpu.ops.layers import mask_invalid_vocab
+
+        B = feats.shape[0]
+        enc_outputs = self._encode(feats, True)
+        enc_W_h = self.att_enc(enc_outputs)
+
+        dec_layers = self.decoder.layers
+        emb_table = self.embedding.table()
+        out_w, out_b = self.out_linear.weight, self.out_linear.bias
+        att_w = (self.att_prev_hid.weight, self.att_prev_hid.bias,
+                 self.att_apply.weight)
+        cdt = self.compute_dtype
+        att_mode = self.att_mode
+
+        def attention(enc_out, enc_wh, h):
+            dec_W_h = apply_linear(h, att_w[0], att_w[1], cdt)[:, None, :]
+            et = apply_linear(jnp.tanh(enc_wh + dec_W_h), att_w[2], None, cdt)
+            at = jnp.ones_like(et) if att_mode == "reference_sum" \
+                else jax.nn.softmax(et, axis=1)
+            return jnp.sum(at * enc_out, axis=1)
+
+        context0 = attention(enc_outputs, enc_W_h,
+                             jnp.zeros((B, self.dim_hid), jnp.float32))
+        init_states = (zero_state(B, self.dim_hid)[0], context0,
+                       enc_outputs, enc_W_h)
+
+        def step_fn(states, word):
+            st, context, enc_out, enc_wh = states
+            emb = jnp.take(emb_table, word, axis=0)
+            x = jnp.concatenate([emb, context], axis=-1)
+            new_st, h = multilayer_step([st], x, dec_layers, "lstm", cdt)
+            context = attention(enc_out, enc_wh, h)
+            logits = apply_linear(h, out_w, out_b, cdt)
+            logits = mask_invalid_vocab(logits, self.valid_vocab)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            return (new_st[0], context, enc_out, enc_wh), logp
+
+        return beam_mod.beam_search(
+            step_fn, init_states, sos_ix=self.sos_ix, eos_ix=self.eos_ix,
+            vocab_size=self.vocab_size, beam_width=beam_width,
+            max_depth=max_depth, alpha=length_norm_alpha, expand_k=expand_k,
+            score_mode=score_mode)

@@ -115,3 +115,24 @@ def test_greedy_tokens_match_torch(torch_modules, att_mode, intended):
     got = model.apply(flax_params(torch_modules), jnp.asarray(feats.numpy()),
                       mode="test")
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_att_beam_width1_matches_greedy():
+    """Beam width 1 over the attention decoder reproduces greedy prefixes
+    (new capability — the reference Att_Baseline has no beam mode)."""
+    import jax
+    import numpy as np
+    from s2vt_tpu.models import AttBaseline
+
+    m = AttBaseline(vocab_size=18, dim_feat=6, length=8, dim_hid=8,
+                    dim_embed=8, sos_ix=3, eos_ix=4)
+    feats = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 6))
+    params = m.init(jax.random.PRNGKey(1), feats, mode="test")
+    greedy = np.asarray(m.apply(params, feats, mode="test"))
+    res = m.apply(params, feats, mode="beam_search", beam_width=1,
+                  max_beam_depth=8)
+    toks = np.asarray(res.tokens)[:, 0, 1:]
+    lens = np.asarray(res.lengths)[:, 0]
+    for b in range(2):
+        n = min(lens[b] - 1, 8)
+        np.testing.assert_array_equal(toks[b, :n], greedy[b, :n])

@@ -1,0 +1,59 @@
+"""End-to-end single-clip captioning (video -> backbone -> caption)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from flax import linen as nn
+import jax.numpy as jnp
+
+import s2vt_tpu.extract.backbones as bk
+from s2vt_tpu.config import Opt
+from s2vt_tpu.data import make_synthetic_corpus
+from s2vt_tpu.training import Trainer
+
+
+class _TinyBackbone(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        x = bk.Conv(8, (3, 3), (2, 2), (1, 1), name="conv")(x)
+        return nn.relu(jnp.mean(x, axis=(1, 2)))
+
+
+@pytest.fixture(autouse=True)
+def tiny_backbone(monkeypatch):
+    monkeypatch.setitem(
+        bk.BACKBONE_SPECS, "tiny",
+        (lambda cdt: _TinyBackbone(), 16, 8, bk.pp.IMAGENET_MEAN,
+         bk.pp.IMAGENET_STD))
+
+
+def test_caption_clips_end_to_end(tmp_path):
+    corpus = make_synthetic_corpus(str(tmp_path), n_videos=8, feat_len=10,
+                                   feat_dim=8, seed=2)
+    opt = Opt(caption_file=corpus["captions_file"],
+              feats_path=corpus["feat_path"], gts_file=corpus["gts_file"],
+              train_length=10, dim_hidden=16, dim_embed=16, feat_dim=8,
+              batch_size=8, lr=0.01, save_path=str(tmp_path / "ckpt"),
+              log_dir=str(tmp_path / "runs"), model="s2vt", seed=0)
+    tr = Trainer(opt, writer=None)
+    tr.fit(epochs=1)
+    ckpt = tr.save("caption_cli")
+
+    clip = tmp_path / "clipA"
+    clip.mkdir()
+    rng = np.random.default_rng(0)
+    for f in range(12):
+        Image.fromarray(rng.integers(0, 255, (24, 32, 3),
+                                     dtype=np.uint8)).save(
+            clip / f"{f:06d}.jpg")
+
+    from s2vt_tpu.cli.caption import caption_clips
+    out = caption_clips(ckpt, [clip], corpus["captions_file"],
+                        backbone="tiny")
+    assert str(clip) in out
+    assert isinstance(out[str(clip)], str)
+
+    out_beam = caption_clips(ckpt, [clip], corpus["captions_file"],
+                             backbone="tiny", beam=True)
+    assert isinstance(out_beam[str(clip)], str)
