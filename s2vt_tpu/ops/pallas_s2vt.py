@@ -44,7 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 1  # single-step blocks: the combined W_all (8.4MB bf16) owns the VMEM
+CHUNK = 2  # W_all (8.4MB bf16) owns the VMEM; 2-step blocks with
+#   matmul-dtype input streams amortize per-grid-step overhead and still fit
 _INTERPRET = False
 _MATMUL_DTYPE = jnp.bfloat16  # tests set float32 for exact parity (interpret mode)
 
@@ -119,7 +120,8 @@ def _fwd_kernel(x1_ref, x2s_ref, wall_ref, out_refs, scratch, *,
 
         @pl.when(t < T)
         def _():
-            post, c1, h1 = _cell(x1_ref[k] + big[:, :G4], c1_s[:])
+            post, c1, h1 = _cell(x1_ref[k].astype(jnp.float32) + big[:, :G4],
+                                 c1_s[:])
             g1_ref[k] = post.astype(g1_ref.dtype)
             c1_ref[k] = c1
             h1_s[:] = h1
@@ -132,7 +134,8 @@ def _fwd_kernel(x1_ref, x2s_ref, wall_ref, out_refs, scratch, *,
 
         @pl.when(jnp.logical_and(t >= 1, t <= T))
         def _():
-            post, c2, h2 = _cell(x2s_ref[k] + big[:, G4:], c2_s[:])
+            post, c2, h2 = _cell(x2s_ref[k].astype(jnp.float32) + big[:, G4:],
+                                 c2_s[:])
             g2s_ref[k] = post.astype(g2s_ref.dtype)
             c2s_ref[k] = c2
             h2_s[:] = h2
@@ -158,10 +161,10 @@ def _run_fwd(x1t, x2t, w_all, snap_idx: int):
     T1 = T + 1
     nb = -(-T1 // CHUNK)
     rows = nb * CHUNK
-    x1p = _pad_rows(x1t, rows)
+    x1p = _pad_rows(x1t, rows).astype(_MATMUL_DTYPE)
     # shift word inputs: row t holds x2 for word step t-1
     x2s = _pad_rows(jnp.concatenate([jnp.zeros((1, B, G), x2t.dtype), x2t],
-                                    axis=0), rows)
+                                    axis=0), rows).astype(_MATMUL_DTYPE)
     w16 = w_all.astype(_MATMUL_DTYPE)
 
     blk = lambda i: (i, 0, 0)
