@@ -149,3 +149,14 @@ def test_host_local_batch_to_global():
     assert g.shape == (8, 2)
     np.testing.assert_array_equal(np.asarray(g), a)
     assert local_batch_size(16) == 16  # single process
+
+
+def test_tensorboard_writer_auto(corpus, tmp_path):
+    """writer='auto' writes event files with the reference's scalar tags."""
+    pytest.importorskip("tensorboardX")
+    opt = small_opt(corpus, tmp_path, log_dir=str(tmp_path / "tb"))
+    tr = Trainer(opt)  # writer='auto'
+    tr.fit(epochs=1)
+    import pathlib
+    events = list(pathlib.Path(opt.log_dir).rglob("events.*"))
+    assert events, "tensorboard event file written"
