@@ -106,3 +106,39 @@ def test_early_stopping_matches_reference(tmp_path, monkeypatch):
             our_stop = i
             break
     assert our_stop == ref_stop
+
+
+def test_dataloader_label_mask_match_reference(tmp_path, monkeypatch):
+    """Caption padding/mask semantics equal the reference VideoDataset
+    (dataloader.py:41-48), with the caption choice pinned."""
+    import dataloader as ref_dl
+
+    vid = "vid000"
+    cap = [3, 7, 8, 9, 4]
+    data = {"word2ix": {"<pad>": 0, "<unk>": 1},
+            "ix2word": {"0": "<pad>", "1": "<unk>"},
+            "captions": {vid: [cap]},
+            "splits": {"train": [vid], "valid": [], "test": []}}
+    (tmp_path / "captions.json").write_text(json.dumps(data))
+    feat_dir = tmp_path / "feats"
+    feat_dir.mkdir()
+    feat = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+    np.save(feat_dir / f"{vid}.npy", feat)
+
+    monkeypatch.setattr(np.random, "choice",
+                        lambda seq, *a, **k: [seq[0]], raising=True)
+    ref_ds = ref_dl.VideoDataset(str(tmp_path / "captions.json"),
+                                 str(feat_dir), max_len=8, mode="train")
+    ref_feat, ref_label, ref_id, ref_mask = ref_ds[0]
+
+    from s2vt_tpu.data.dataset import VideoDataset
+    ds = VideoDataset(str(tmp_path / "captions.json"), str(feat_dir),
+                      max_len=8, mode="train", backend="numpy")
+    batch = next(ds.batches(1, shuffle=False))
+
+    np.testing.assert_array_equal(batch.labels[0],
+                                  ref_label.cpu().numpy())
+    np.testing.assert_array_equal(batch.mask[0], ref_mask.cpu().numpy())
+    np.testing.assert_array_equal(batch.feats[0],
+                                  ref_feat.detach().cpu().numpy())
+    assert batch.ids[0] == ref_id
