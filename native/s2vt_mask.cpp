@@ -211,7 +211,7 @@ long rle_from_string(const char* s, long len, uint32_t* out, long max_n) {
     int k = 0;
     bool more = true;
     while (more) {
-      if (p >= len) return -1;
+      if (p >= len || k >= 12) return -1;  // k*5 >= 64 would be UB
       char c = s[p] - 48;
       x |= static_cast<long>(c & 0x1f) << (5 * k);
       more = (c & 0x20) != 0;

@@ -13,28 +13,23 @@ import json
 def caption_clips(model_path: str, inputs, captions_file: str = None,
                   backbone: str = "vgg16", weights: str = None,
                   beam: bool = False, compute_dtype: str = None) -> dict:
-    import jax
     import numpy as np
 
     from s2vt_tpu.config import Opt
     from s2vt_tpu.data.corpus import load_captions, special_token_indices
-    from s2vt_tpu.evaluation.decode import ids_to_sentence
+    from s2vt_tpu.evaluation.decode import (ids_to_sentence,
+                                            model_from_checkpoint)
     from s2vt_tpu.extract.pipeline import FeatureExtractor
-    from s2vt_tpu.parallel import mesh as mesh_lib
-    from s2vt_tpu.training.checkpoint import load_config, restore_checkpoint
-    from s2vt_tpu.training.loop import build_model
+    from s2vt_tpu.training.checkpoint import load_config
 
     cfg = load_config(model_path)
-    opt = Opt(**cfg) if cfg else Opt()
-    data = load_captions(captions_file or opt.caption_file)
+    base_opt = Opt(**cfg) if cfg else Opt()
+    data = load_captions(captions_file or base_opt.caption_file)
     word2ix = data["word2ix"]
     ix2word = {int(k): v for k, v in data["ix2word"].items()}
     sp = special_token_indices(word2ix)
 
-    vocab = mesh_lib.pad_to_multiple(len(word2ix), opt.vocab_pad_multiple)
-    model = build_model(opt, vocab, valid_vocab=len(word2ix))
-    params = jax.tree_util.tree_map(
-        np.asarray, restore_checkpoint(model_path)["params"])
+    opt, model, params = model_from_checkpoint(model_path, len(word2ix))
 
     extractor = FeatureExtractor(backbone, weights, compute_dtype)
     feats = np.stack([

@@ -96,23 +96,35 @@ class CaptionDecoder:
                                sos_ix=self.sos_ix, pad_ix=self.pad_ix)
 
 
+def model_from_checkpoint(checkpoint_path: str, real_vocab: int):
+    """Rebuild (opt, model, params) from a checkpoint directory — the
+    shared assembly used by eval decoding and the captioning CLI."""
+    from s2vt_tpu.config import Opt
+    from s2vt_tpu.parallel import mesh as mesh_lib
+    from s2vt_tpu.training.checkpoint import load_config, restore_checkpoint
+    from s2vt_tpu.training.loop import build_model
+
+    cfg = load_config(checkpoint_path)
+    opt = Opt(**cfg) if cfg else Opt()
+    vocab = mesh_lib.pad_to_multiple(real_vocab, opt.vocab_pad_multiple)
+    model = build_model(opt, vocab, valid_vocab=real_vocab)
+    restored = restore_checkpoint(checkpoint_path)
+    params = jax.tree_util.tree_map(np.asarray, restored["params"])
+    return opt, model, params
+
+
 def _decoder_from_checkpoint(checkpoint_path: str, captions_file: str,
                              feats_path: str, mode: str = "test",
                              **kw) -> CaptionDecoder:
     from s2vt_tpu.config import Opt
-    from s2vt_tpu.training.checkpoint import load_config, restore_checkpoint
-    from s2vt_tpu.training.loop import build_model
+    from s2vt_tpu.training.checkpoint import load_config
 
     cfg = load_config(checkpoint_path)
     opt = Opt(**cfg) if cfg else Opt()
     ds = VideoDataset(captions_file or opt.caption_file,
                       feats_path or opt.feats_path,
                       max_len=opt.train_length, mode=mode, seed=opt.seed)
-    from s2vt_tpu.parallel import mesh as mesh_lib
-    vocab = mesh_lib.pad_to_multiple(ds.vocab_size, opt.vocab_pad_multiple)
-    model = build_model(opt, vocab, valid_vocab=ds.vocab_size)
-    restored = restore_checkpoint(checkpoint_path)
-    params = jax.tree_util.tree_map(np.asarray, restored["params"])
+    opt, model, params = model_from_checkpoint(checkpoint_path, ds.vocab_size)
     return CaptionDecoder(model, params, ds,
                           beam_width=kw.get("beam_width", opt.beam_width),
                           max_beam_depth=kw.get("max_beam_depth",

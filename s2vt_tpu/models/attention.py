@@ -225,19 +225,24 @@ class AttBaseline(nn.Module):
 
         context0 = attention(enc_outputs, enc_W_h,
                              jnp.zeros((B, self.dim_hid), jnp.float32))
-        init_states = (zero_state(B, self.dim_hid)[0], context0,
-                       enc_outputs, enc_W_h)
+        init_states = (zero_state(B, self.dim_hid)[0], context0)
+        # Encoder tensors are beam-invariant: tile them ONCE (matching
+        # _tile_states' beam-minor layout) and close over them, instead of
+        # carrying them in the beam state where they would be re-gathered
+        # every expansion step.
+        enc_out_t = jnp.repeat(enc_outputs, beam_width, axis=0)
+        enc_wh_t = jnp.repeat(enc_W_h, beam_width, axis=0)
 
         def step_fn(states, word):
-            st, context, enc_out, enc_wh = states
+            st, context = states
             emb = jnp.take(emb_table, word, axis=0)
             x = jnp.concatenate([emb, context], axis=-1)
             new_st, h = multilayer_step([st], x, dec_layers, "lstm", cdt)
-            context = attention(enc_out, enc_wh, h)
+            context = attention(enc_out_t, enc_wh_t, h)
             logits = apply_linear(h, out_w, out_b, cdt)
             logits = mask_invalid_vocab(logits, self.valid_vocab)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            return (new_st[0], context, enc_out, enc_wh), logp
+            return (new_st[0], context), logp
 
         return beam_mod.beam_search(
             step_fn, init_states, sos_ix=self.sos_ix, eos_ix=self.eos_ix,

@@ -48,10 +48,12 @@ def _interpret() -> bool:
 def pallas_shapes_ok(batch: int, hidden: int) -> bool:
     """Single source of truth for the Pallas-kernel shape gate (per-layer
     and fused kernels): MXU/VPU alignment, and the small-batch
-    latency-optimized regime — above B=128 the kernels exceed the 16MB
-    VMEM budget and XLA's larger per-step matmuls amortize the sequential
+    latency-optimized regime. B <= 64 is the hardware-validated VMEM
+    envelope at H=512 (B=96+ overflows the 16MB scoped budget with the
+    fused kernel's double-buffered streams); larger batches route to the
+    XLA scan path, whose bigger per-step matmuls amortize the sequential
     latency better anyway."""
-    return batch % 8 == 0 and batch <= 128 and hidden % 128 == 0
+    return batch % 8 == 0 and batch <= 64 and hidden % 128 == 0
 
 
 def _pad_time(x: jax.Array, t_pad: int) -> jax.Array:

@@ -185,10 +185,12 @@ def toString(rle: Dict) -> bytes:
     LEB128 base-48 with delta coding from the second-previous count)."""
     lib = _load_ext()
     counts = _u32(rle["counts"])
-    buf = ctypes.create_string_buffer(6 * max(len(counts), 1) + 8)
+    # worst case 7 base-48 chars per count (30 signed bits per 6 chars)
+    buf = ctypes.create_string_buffer(7 * max(len(counts), 1) + 8)
     n = lib.rle_to_string(_ptr(counts, ctypes.c_uint32), len(counts), buf,
                           len(buf))
-    assert n >= 0
+    if n < 0:
+        raise ValueError("RLE string encoding overflow")
     return buf.raw[:n]
 
 
@@ -206,6 +208,8 @@ def frPoly(polys: Sequence[Sequence[float]], h: int, w: int) -> Dict:
     """Polygon(s) [x0,y0,x1,y1,...] -> RLE (union of filled polygons,
     even-odd scanline rasterization)."""
     lib = _load_ext()
+    if not polys:  # empty segmentation -> empty mask
+        return {"size": [h, w], "counts": np.asarray([h * w], np.uint32)}
     rles = []
     for poly in polys:
         xy = np.ascontiguousarray(poly, np.float64)

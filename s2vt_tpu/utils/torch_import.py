@@ -83,14 +83,14 @@ def load_reference_checkpoint(path: str, reference_repo: str = None) -> dict:
 
     import torch
 
-    if reference_repo is not None and reference_repo not in sys.path:
+    inserted = reference_repo is not None and reference_repo not in sys.path
+    if inserted:
         sys.path.insert(0, reference_repo)
     try:
         obj = torch.load(path, map_location="cpu", weights_only=False)
     finally:
-        if reference_repo is not None and sys.path and \
-                sys.path[0] == reference_repo:
-            sys.path.pop(0)
+        if inserted:
+            sys.path.remove(reference_repo)
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
     return params_from_torch_state_dict(obj)

@@ -151,7 +151,8 @@ def test_load_reference_checkpoint_whole_module(tmp_path):
                 self.feat_linear = nn.Linear(4, 8)
                 self.embedding = nn.Embedding(10, 8)
     """))
-    sys.path.insert(0, str(repo))
+    cached = sys.modules.pop("S2VTModel", None)  # other tests import the
+    sys.path.insert(0, str(repo))                # real reference module
     try:
         import S2VTModel as ref_mod
         model = ref_mod.S2VT()
@@ -159,6 +160,8 @@ def test_load_reference_checkpoint_whole_module(tmp_path):
         del sys.modules["S2VTModel"]
     finally:
         sys.path.pop(0)
+        if cached is not None:
+            sys.modules["S2VTModel"] = cached
 
     from s2vt_tpu.utils.torch_import import load_reference_checkpoint
     params = load_reference_checkpoint(str(tmp_path / "ckpt.pth"),
