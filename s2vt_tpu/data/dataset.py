@@ -90,8 +90,18 @@ class VideoDataset:
 
     def _load_feat(self, i: int) -> np.ndarray:
         if self._cache is not None:
-            return self._cache[i]
-        return np.load(str(self.feat_paths[i])).astype(np.float32)
+            feat = self._cache[i]
+        else:
+            feat = np.load(str(self.feat_paths[i])).astype(np.float32)
+        # 'free'-mode extraction produces ragged lengths: truncate or
+        # zero-pad rows to the probed feat_len (the native C++ loader does
+        # the same, keeping both backends bit-identical).
+        if feat.shape[0] != self.feat_len:
+            out = np.zeros((self.feat_len, self.feat_dim), np.float32)
+            rows = min(feat.shape[0], self.feat_len)
+            out[:rows] = feat[:rows]
+            return out
+        return feat
 
     def _encode_caption(self, tokens: List[int]) -> tuple:
         L = self.max_len

@@ -130,3 +130,26 @@ def test_dataset_split_filter_and_specials(corpus):
     sp = ds_train.specials
     assert sp["pad_ix"] == 0 and sp["unk_ix"] == 1
     assert ds_train.ix2word[sp["sos_ix"]] == "<sos>"
+
+
+def test_ragged_feature_padding(tmp_path):
+    """'free'-mode extraction yields ragged lengths; the numpy backend
+    pads/truncates to the probed feat_len like the native loader."""
+    data = {"word2ix": {"<pad>": 0, "<unk>": 1},
+            "ix2word": {"0": "<pad>", "1": "<unk>"},
+            "captions": {"a": [[3, 4]], "b": [[3, 4]], "c": [[3, 4]]},
+            "splits": {"train": ["a", "b", "c"], "valid": [], "test": []}}
+    cap = tmp_path / "captions.json"
+    cap.write_text(json.dumps(data))
+    feat_dir = tmp_path / "feats"
+    feat_dir.mkdir()
+    np.save(feat_dir / "a.npy", np.ones((6, 4), np.float32))      # probe len
+    np.save(feat_dir / "b.npy", np.ones((3, 4), np.float32) * 2)  # short
+    np.save(feat_dir / "c.npy", np.ones((9, 4), np.float32) * 3)  # long
+    ds = VideoDataset(str(cap), str(feat_dir), max_len=6, mode="train",
+                      backend="numpy")
+    batch = next(ds.batches(3, shuffle=False))
+    assert batch.feats.shape == (3, 6, 4)
+    np.testing.assert_array_equal(batch.feats[1, 3:], 0.0)  # padded tail
+    np.testing.assert_array_equal(batch.feats[1, :3], 2.0)
+    np.testing.assert_array_equal(batch.feats[2], 3.0)      # truncated

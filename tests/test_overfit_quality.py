@@ -74,3 +74,27 @@ def test_overfit_then_score(tmp_path):
     assert scores["Bleu_1"] > 0.95, scores
     assert scores["ROUGE_L"] > 0.95, scores
     assert scores["CIDEr"] > 5.0, scores
+
+
+@pytest.mark.slow
+def test_overfit_att_baseline(tmp_path):
+    """Same memorization check for the attention baseline (the model the
+    reference's shipped train.py actually instantiates)."""
+    feat_dir = _learnable_corpus(tmp_path)
+    opt = Opt(caption_file=str(tmp_path / "captions.json"),
+              feats_path=str(feat_dir), gts_file=str(tmp_path / "gts.json"),
+              train_length=10, dim_hidden=48, dim_embed=48, feat_dim=24,
+              batch_size=8, lr=0.02, EPOCHS=250,
+              save_path=str(tmp_path / "ckpt"),
+              log_dir=str(tmp_path / "runs"), model="att_baseline", seed=0,
+              early_stopping_patience=1000, learning_rate_patience=10000)
+    tr = Trainer(opt, writer=None)
+    hist = tr.fit(epochs=250)
+    assert hist["train_loss"][-1] < 0.2, hist["train_loss"][-5:]
+    path = tr.save("overfit_att")
+
+    preds = greedy_eval(path, opt.caption_file, opt.feats_path,
+                        batch_size=8, mode="test")
+    gts = json.load(open(opt.gts_file))["gts"]
+    scores = score_predictions(preds, gts, verbose=False)
+    assert scores["Bleu_1"] > 0.8, scores
