@@ -112,12 +112,14 @@ class NativeFeatureLoader:
         if self._in_flight:
             raise RuntimeError("previous epoch not fully consumed")
         order_arr = np.ascontiguousarray(order, np.int32)
+        # Snapshot BEFORE begin(): the pool starts loading immediately, so
+        # reading the counter afterwards races the first failures.
+        failed0 = self._lib.s2vt_loader_failed(self._handle)
         self._lib.s2vt_loader_begin(
             self._handle,
             order_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             len(order_arr), batch)
         self._in_flight = True
-        failed0 = self._lib.s2vt_loader_failed(self._handle)
         try:
             while True:
                 out = np.empty((batch, self.feat_len, self.feat_dim),
