@@ -131,3 +131,41 @@ def test_cumulative_mode_prefers_total_logp():
                                expand_k=vocab, score_mode="cumulative")
     scores = np.asarray(res.scores)
     assert (scores[:, 0:1] >= scores - 1e-6).all()
+
+
+@pytest.mark.parametrize("seed", [10, 11, 12])
+def test_reference_mode_with_likely_eos(seed):
+    """Bias the model toward <eos> so finished-beam freezing, the
+    'queue <= width' early stop, and final selection over mixed
+    finished/live nodes are all exercised against the oracle."""
+    vocab, hid, W_, D = 13, 6, 3, 10
+    key = jax.random.PRNGKey(seed)
+    step, oracle_step = _random_step_fn(key, vocab, hid)
+    sos_ix, eos_ix = 3, 4
+
+    def bias(fn):
+        def wrapped(state, words):
+            new, logp = fn(state, words)
+            boost = jnp.zeros((vocab,)).at[eos_ix].set(2.5)
+            logits = logp + boost
+            return new, jax.nn.log_softmax(logits, axis=-1)
+        return wrapped
+
+    b_step = bias(step)
+
+    def b_oracle(state, word):
+        new, logp = b_step(state, jnp.asarray([word]))
+        return new[0], logp[0]
+
+    init = jax.random.normal(jax.random.fold_in(key, 5), (2, hid))
+    res = beam_mod.beam_search(
+        b_step, init, sos_ix=sos_ix, eos_ix=eos_ix, vocab_size=vocab,
+        beam_width=W_, max_depth=D, expand_k=vocab, score_mode="reference")
+    toks = np.asarray(res.tokens)
+    lens = np.asarray(res.lengths)
+    for b in range(2):
+        want = reference_beam(b_oracle, init[b], sos_ix, eos_ix,
+                              beam_width=W_, max_depth=D, expand_k=vocab)
+        got = toks[b, 0, :lens[b, 0]].tolist()
+        assert got == want, f"sentence {b}: {got} != {want}"
+        assert want[-1] == eos_ix or len(want) == D + 1
