@@ -399,6 +399,18 @@ class InceptionV4(nn.Module):
         return x  # last_linear == Identity -> 1536-d
 
 
+class TinyConv(nn.Module):
+    """Minimal conv backbone (16x16 input -> 8-d features). A real
+    registry entry so the advertised ``--backbone tiny`` CLI choice works
+    outside tests: smoke runs, CPU-only serving demos, CI."""
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv(8, (3, 3), (2, 2), (1, 1), name="conv")(x)
+        return nn.relu(jnp.mean(x, axis=(1, 2)))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -413,6 +425,8 @@ BACKBONE_SPECS = {
                   224, 2048, pp.IMAGENET_MEAN, pp.IMAGENET_STD),
     "inception_v4": (lambda cdt: InceptionV4(compute_dtype=cdt),
                      299, 1536, pp.INCEPTION_MEAN, pp.INCEPTION_STD),
+    "tiny": (lambda cdt: TinyConv(compute_dtype=cdt),
+             16, 8, pp.IMAGENET_MEAN, pp.IMAGENET_STD),
 }
 
 

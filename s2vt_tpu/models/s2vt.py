@@ -124,7 +124,10 @@ class S2VT(nn.Module):
         from s2vt_tpu.ops.pallas_s2vt import fused_shapes_ok
         return self.use_pallas and fused_shapes_ok(
             batch, self.dim_hid, self.dim_embed, self.num_layers,
-            self.rnn_type)
+            self.rnn_type, self.compute_dtype)
+
+    def _fused_bf16(self) -> bool:
+        return self.compute_dtype == jnp.bfloat16
 
     def _fused_inputs(self, feats_proj, pad_embed):
         """Assemble the fused kernel's pre-projected time-major inputs."""
@@ -178,7 +181,8 @@ class S2VT(nn.Module):
         pad = jnp.zeros((B, self.length, self.dim_embed), embed.dtype)
         pad_embed = jnp.concatenate([pad, embed], axis=1)         # [B, 2L-1, E]
         x1t, x2t, w1hh, w2v, w2hh = self._fused_inputs(feats, pad_embed)
-        out2 = s2vt_fused_out2(x1t, x2t, w1hh, w2v, w2hh)         # [T, B, H]
+        out2 = s2vt_fused_out2(x1t, x2t, w1hh, w2v, w2hh,
+                               self._fused_bf16())                # [T, B, H]
         result = jnp.swapaxes(out2, 0, 1)[:, self.length:, :]
         rng = (self.make_rng("dropout")
                if (self.out_dropout > 0.0 and not deterministic) else None)
@@ -202,7 +206,8 @@ class S2VT(nn.Module):
             pad_embed = jnp.zeros((B, T, self.dim_embed), jnp.float32)
             x1t, x2t, w1hh, w2v, w2hh = self._fused_inputs(feats, pad_embed)
             out1, _, _, _, (h2s, c2s) = s2vt_fused_infer(
-                x1t, x2t, w1hh, w2v, w2hh, snap_idx=self.length - 1)
+                x1t, x2t, w1hh, w2v, w2hh, snap_idx=self.length - 1,
+                compute_bf16=self._fused_bf16())
             output1 = jnp.swapaxes(out1, 0, 1)                    # [B, T, H]
             states2 = [LSTMState(h2s, c2s)]
         else:

@@ -27,8 +27,9 @@ also halves the number of kernel launches on the decode path).
 
 The backward pass is the same trick in reverse (one fused matmul produces
 dh1-chain and dh2-chain contributions), with dW/dx projections as big MXU
-einsums outside the kernel. Residual gate tensors are stored bfloat16; the
-recurrent state stays float32 inside the kernel.
+einsums outside the kernel. Matmul + residual-gate dtype follows the
+model's compute_dtype (f32 unless bfloat16 is requested); the recurrent
+state stays float32 inside the kernel either way.
 
 Used by S2VT (models/s2vt.py) when ``use_pallas`` is on, shapes are
 MXU-aligned, and num_layers == 1.
@@ -44,10 +45,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 2  # W_all (8.4MB bf16) owns the VMEM; 2-step blocks with
+CHUNK = 2  # W_all (8.4MB bf16 at H=512) owns the VMEM; 2-step blocks with
 #   matmul-dtype input streams amortize per-grid-step overhead and still fit
 _INTERPRET = False
-_MATMUL_DTYPE = jnp.bfloat16  # tests set float32 for exact parity (interpret mode)
+
+# Validated VMEM envelope for the resident W_all block: bf16 at H=512 is
+# 8.4MB (the hardware-tested config). The gate scales by dtype width so an
+# f32 run (compute_dtype=None) only engages up to H=256 — f32 W_all at
+# H=512 is 16.8MB, over the whole budget.
+_WALL_BYTES_MAX = 2 * (2 * 512) * (8 * 512)
+
+
+def _mm_dtype(compute_bf16: bool):
+    return jnp.bfloat16 if compute_bf16 else jnp.float32
 
 
 def _interpret() -> bool:
@@ -152,20 +162,21 @@ def _fwd_kernel(x1_ref, x2s_ref, wall_ref, out_refs, scratch, *,
                 c2T_ref[:] = c2
 
 
-def _run_fwd(x1t, x2t, w_all, snap_idx: int):
+def _run_fwd(x1t, x2t, w_all, snap_idx: int, compute_bf16: bool = True):
     """x1t [T, B, 4H]; x2t [T, B, 4H] (word inputs in TIME order);
     w_all [2H, 8H] (see _assemble_wall). Returns residuals + finals; word
     outputs are stored SHIFTED by one row (row t = step t-1)."""
+    mmd = _mm_dtype(compute_bf16)
     T, B, G = x1t.shape
     H = G // 4
     T1 = T + 1
     nb = -(-T1 // CHUNK)
     rows = nb * CHUNK
-    x1p = _pad_rows(x1t, rows).astype(_MATMUL_DTYPE)
+    x1p = _pad_rows(x1t, rows).astype(mmd)
     # shift word inputs: row t holds x2 for word step t-1
     x2s = _pad_rows(jnp.concatenate([jnp.zeros((1, B, G), x2t.dtype), x2t],
-                                    axis=0), rows).astype(_MATMUL_DTYPE)
-    w16 = w_all.astype(_MATMUL_DTYPE)
+                                    axis=0), rows).astype(mmd)
+    w16 = w_all.astype(mmd)
 
     blk = lambda i: (i, 0, 0)
     const = lambda i: (0, 0)
@@ -192,9 +203,9 @@ def _run_fwd(x1t, x2t, w_all, snap_idx: int):
              pl.BlockSpec((CHUNK, B, H), blk, memory_space=pltpu.VMEM)] +
             [pl.BlockSpec((B, H), const, memory_space=pltpu.VMEM)] * 6),
         out_shape=tuple(
-            [jax.ShapeDtypeStruct((rows, B, G), _MATMUL_DTYPE),  # gates1
+            [jax.ShapeDtypeStruct((rows, B, G), mmd),            # gates1
              jax.ShapeDtypeStruct((rows, B, H), jnp.float32),    # c1seq
-             jax.ShapeDtypeStruct((rows, B, G), _MATMUL_DTYPE),  # gates2 (shifted)
+             jax.ShapeDtypeStruct((rows, B, G), mmd),            # gates2 (shifted)
              jax.ShapeDtypeStruct((rows, B, H), jnp.float32)] +  # c2seq (shifted)
             [jax.ShapeDtypeStruct((B, H), jnp.float32)] * 6),    # finals+snap
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)] * 4,
@@ -269,7 +280,8 @@ def _rev_b(x_time, rows):
     return _pad_rows(jnp.flip(x_time, 0), rows)
 
 
-def _run_bwd(g1, c1, c1prev, g2, c2, c2prev, dout2, wb):
+def _run_bwd(g1, c1, c1prev, g2, c2, c2prev, dout2, wb,
+             compute_bf16: bool = True):
     T, B, G = g1.shape
     H = G // 4
     T1 = T + 1
@@ -283,7 +295,7 @@ def _run_bwd(g1, c1, c1prev, g2, c2, c2prev, dout2, wb):
     c2r = _rev_b(c2, rows)
     c2pr = _rev_b(c2prev, rows)
     do2r = _rev_b(dout2, rows)
-    wb16 = wb.astype(_MATMUL_DTYPE)
+    wb16 = wb.astype(_mm_dtype(compute_bf16))
 
     blk = lambda i: (i, 0, 0)
     const = lambda i: (0, 0)
@@ -350,40 +362,44 @@ def _assemble_wb(w1hh, w2v, w2hh):
     return jnp.concatenate([top, bot], axis=0)
 
 
-@jax.custom_vjp
-def s2vt_fused_out2(x1t, x2t, w1hh, w2v, w2hh):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def s2vt_fused_out2(x1t, x2t, w1hh, w2v, w2hh, compute_bf16: bool = True):
     """Teacher-forced S2VT core: both LSTM layers fused.
 
     x1t [T, B, 4H]: vid inputs pre-projected (x @ W1ih^T + b1ih + b1hh).
     x2t [T, B, 4H]: word EMBEDDING part pre-projected
                     (emb @ W2e^T + b2ih + b2hh); the vid-output part is
                     added inside via w2v.
+    ``compute_bf16`` selects the matmul/residual dtype — f32 unless the
+    model's compute_dtype is bfloat16, mirroring lstm_sequence_pallas.
     Returns out2 [T, B, H] (word_rnn hidden sequence).
     """
-    out2, _ = _fused_fwd_impl(x1t, x2t, w1hh, w2v, w2hh)
+    out2, _ = _fused_fwd_impl(x1t, x2t, w1hh, w2v, w2hh, compute_bf16)
     return out2
 
 
-def _fused_fwd_impl(x1t, x2t, w1hh, w2v, w2hh):
-    res = _run_fwd(x1t, x2t, _assemble_wall(w1hh, w2v, w2hh), snap_idx=-2)
+def _fused_fwd_impl(x1t, x2t, w1hh, w2v, w2hh, compute_bf16):
+    res = _run_fwd(x1t, x2t, _assemble_wall(w1hh, w2v, w2hh), snap_idx=-2,
+                   compute_bf16=compute_bf16)
     g1, c1, g2, c2 = res[:4]
     out2 = _h_from(g2, c2)
     return out2, (g1, c1, g2, c2, w1hh, w2v, w2hh)
 
 
-def _fused_fwd(x1t, x2t, w1hh, w2v, w2hh):
-    out2, resid = _fused_fwd_impl(x1t, x2t, w1hh, w2v, w2hh)
+def _fused_fwd(x1t, x2t, w1hh, w2v, w2hh, compute_bf16):
+    out2, resid = _fused_fwd_impl(x1t, x2t, w1hh, w2v, w2hh, compute_bf16)
     return out2, resid
 
 
-def _fused_bwd(resid, dout2):
+def _fused_bwd(compute_bf16, resid, dout2):
     g1, c1, g2, c2, w1hh, w2v, w2hh = resid
     B, H = c1.shape[1], c1.shape[2]
     zero = jnp.zeros((1, B, H), jnp.float32)
     c1prev = jnp.concatenate([zero, c1[:-1]], axis=0)
     c2prev = jnp.concatenate([zero, c2[:-1]], axis=0)
     dxp1, dxp2 = _run_bwd(g1, c1, c1prev, g2, c2, c2prev, dout2,
-                          _assemble_wb(w1hh, w2v, w2hh))
+                          _assemble_wb(w1hh, w2v, w2hh),
+                          compute_bf16=compute_bf16)
 
     h1 = _h_from(g1, c1)                                      # out1 [T, B, H]
     h1prev = jnp.concatenate([zero, h1[:-1]], axis=0)
@@ -402,16 +418,22 @@ def _fused_bwd(resid, dout2):
 s2vt_fused_out2.defvjp(_fused_fwd, _fused_bwd)
 
 
-def s2vt_fused_infer(x1t, x2t, w1hh, w2v, w2hh, snap_idx: int):
+def s2vt_fused_infer(x1t, x2t, w1hh, w2v, w2hh, snap_idx: int,
+                     compute_bf16: bool = True):
     """Inference helper: returns (out1 [T,B,H], out2 [T,B,H],
     (h1T, c1T), (h2T, c2T), (h2_snap, c2_snap) at word step snap_idx)."""
     g1, c1, g2, c2, h1T, c1T, h2T, c2T, h2s, c2s = _run_fwd(
-        x1t, x2t, _assemble_wall(w1hh, w2v, w2hh), snap_idx=snap_idx)
+        x1t, x2t, _assemble_wall(w1hh, w2v, w2hh), snap_idx=snap_idx,
+        compute_bf16=compute_bf16)
     return _h_from(g1, c1), _h_from(g2, c2), (h1T, c1T), (h2T, c2T), (h2s, c2s)
 
 
 def fused_shapes_ok(batch: int, dim_hid: int, dim_embed: int,
-                    num_layers: int, rnn_type: str) -> bool:
+                    num_layers: int, rnn_type: str,
+                    compute_dtype=None) -> bool:
     from s2vt_tpu.ops.pallas_rnn import pallas_shapes_ok
+    itemsize = 2 if compute_dtype == jnp.bfloat16 else 4
+    wall_bytes = itemsize * (2 * dim_hid) * (8 * dim_hid)
     return (num_layers == 1 and rnn_type == "lstm"
+            and wall_bytes <= _WALL_BYTES_MAX
             and pallas_shapes_ok(batch, dim_hid))

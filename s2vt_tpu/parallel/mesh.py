@@ -82,6 +82,28 @@ def param_shardings(mesh: Mesh, params) -> dict:
         params)
 
 
+def opt_state_shardings(mesh: Mesh, params, opt_state):
+    """Shardings for an optimizer state tree: any subtree with the same
+    structure as ``params`` (Adam's mu/nu, etc.) gets the param shardings
+    leaf-for-leaf; every other leaf (counts, hyperparams) is replicated.
+
+    This is the one answer to opt-state placement shared by Trainer and the
+    driver entry — optimizer moments must live where their params live or
+    every update step pays an ICI reshard.
+    """
+    p_struct = jax.tree_util.tree_structure(params)
+    p_sh = param_shardings(mesh, params)
+    rep = replicate_sharding(mesh)
+
+    def _is_param_tree(x):
+        return jax.tree_util.tree_structure(x) == p_struct
+
+    return jax.tree_util.tree_map(
+        lambda x: p_sh if _is_param_tree(x)
+        else jax.tree_util.tree_map(lambda _: rep, x),
+        opt_state, is_leaf=_is_param_tree)
+
+
 def pad_to_multiple(n: int, multiple: int) -> int:
     return -(-n // multiple) * multiple
 

@@ -112,7 +112,11 @@ class Trainer:
                                           valid_vocab=self.train_ds.vocab_size)
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
 
-        self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=opt.lr)
+        # adamw(weight_decay=0) is exactly adam (the reference's optimizer,
+        # train.py:89-93); Opt.weight_decay>0 enables decoupled decay — the
+        # knob the reference exposes commented-out at train.py:48,92.
+        self.tx = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=opt.lr, weight_decay=opt.weight_decay)
 
         rng = jax.random.PRNGKey(opt.seed)
         init_rng, self.dropout_base = jax.random.split(rng)
@@ -128,11 +132,14 @@ class Trainer:
             self.params = warm_start_embedding(
                 self.params, opt.glove_path, self.train_ds.word2ix,
                 seed=opt.seed)
-        self.opt_state = self.tx.init(self.params)
-
-        # Place params/opt_state per the mesh layout.
+        # Place params per the mesh layout, then give opt_state the same
+        # explicit treatment (moments sharded exactly like their params).
         p_sh = mesh_lib.param_shardings(self.mesh, self.params)
         self.params = jax.device_put(self.params, p_sh)
+        self.opt_state = self.tx.init(self.params)
+        self.opt_state = jax.device_put(
+            self.opt_state,
+            mesh_lib.opt_state_shardings(self.mesh, self.params, self.opt_state))
         self.batch_sharding = mesh_lib.batch_sharding(self.mesh)
 
         self._train_step = self._make_train_step()
@@ -325,6 +332,9 @@ class Trainer:
         restored = restore_checkpoint(path, tree)
         p_sh = mesh_lib.param_shardings(self.mesh, restored["params"])
         self.params = jax.device_put(restored["params"], p_sh)
-        self.opt_state = jax.tree_util.tree_map(jnp.asarray, restored["opt_state"])
+        self.opt_state = jax.device_put(
+            restored["opt_state"],
+            mesh_lib.opt_state_shardings(self.mesh, self.params,
+                                         restored["opt_state"]))
         self.plateau.load_state_dict(restored["plateau"])
         self.early.load_state_dict(restored["early"])

@@ -1,8 +1,8 @@
 """Fused dual-layer S2VT kernel: parity vs the composed per-layer path.
 
-Runs in interpret mode on CPU with the kernel's matmul dtype forced to
-float32 so parity is exact (on TPU the fused path uses bfloat16 recurrent
-matmuls — a documented approximation of the production perf mode).
+Runs in interpret mode on CPU. With compute_dtype=None the fused kernel
+uses float32 matmuls + residuals (like the scan path), so parity is exact;
+bfloat16 engages only when the model requests compute_dtype=bfloat16.
 """
 
 import numpy as np
@@ -11,16 +11,10 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-import s2vt_tpu.ops.pallas_s2vt as fused_mod
 from s2vt_tpu.models import S2VT
 
 B, L, F, H, V = 8, 6, 16, 128, 32
 E = H
-
-
-@pytest.fixture(autouse=True)
-def f32_matmuls(monkeypatch):
-    monkeypatch.setattr(fused_mod, "_MATMUL_DTYPE", jnp.float32)
 
 
 @pytest.fixture(scope="module")
@@ -40,6 +34,29 @@ def test_fused_is_engaged(setup):
     _, m_fused, *_ = setup
     from s2vt_tpu.ops.pallas_s2vt import fused_shapes_ok
     assert fused_shapes_ok(B, H, E, 1, "lstm")
+
+
+def test_fused_gate_is_dtype_aware():
+    """f32 W_all at H=512 (16.8MB) can't be VMEM-resident; the bf16 run can
+    (ADVICE r1: the gate must consider compute_dtype, not assume bf16)."""
+    from s2vt_tpu.ops.pallas_s2vt import fused_shapes_ok
+    assert fused_shapes_ok(64, 512, 512, 1, "lstm", jnp.bfloat16)
+    assert not fused_shapes_ok(64, 512, 512, 1, "lstm", None)
+    assert fused_shapes_ok(64, 256, 256, 1, "lstm", None)
+
+
+def test_fused_bf16_mode_runs(setup):
+    """compute_dtype=bfloat16 engages bf16 matmuls/residuals and still
+    tracks the scan path to bf16 tolerance."""
+    _, _, params, feats, tgts = setup
+    kw = dict(vocab_size=V, feat_dim=F, length=L, dim_hid=H, dim_embed=E,
+              sos_ix=3, eos_ix=4, compute_dtype=jnp.bfloat16)
+    m_ref = S2VT(**kw)
+    m_fused = S2VT(use_pallas=True, **kw)
+    want = m_ref.apply(params, feats, tgts, mode="train", deterministic=True)
+    got = m_fused.apply(params, feats, tgts, mode="train", deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=0.15, rtol=0.15)
 
 
 def test_teacher_forced_parity(setup):

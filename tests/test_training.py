@@ -70,6 +70,15 @@ def test_reference_compat_loss_mode(corpus, tmp_path):
     assert np.isfinite(hist["train_loss"]).all()
 
 
+def test_weight_decay_is_live(corpus, tmp_path):
+    """Opt.weight_decay is consumed (adamw), not a dead knob."""
+    ha = Trainer(small_opt(corpus, tmp_path), writer=None).fit(epochs=1)
+    hb = Trainer(small_opt(corpus, tmp_path, weight_decay=10.0),
+                 writer=None).fit(epochs=1)
+    # decay shows up on the validation loss after one decayed epoch
+    assert abs(ha["valid_loss"][0] - hb["valid_loss"][0]) > 1e-6
+
+
 def test_plateau_scheduler_semantics():
     s = ReduceLROnPlateau(lr=1.0, patience=2, factor=0.1)
     assert s.step(1.0) == 1.0          # first metric sets best
@@ -99,6 +108,32 @@ def test_tensor_parallel_mesh_trains(corpus, tmp_path):
     hist = tr.fit(epochs=2)
     assert np.isfinite(hist["train_loss"]).all()
     assert hist["train_loss"][-1] < hist["train_loss"][0] * 1.5
+
+
+def test_opt_state_sharded_like_params(corpus, tmp_path):
+    """Adam moments carry leaf-for-leaf the same sharding as their params
+    under dp x tp (VERDICT r1 item 8: one opt-state placement answer)."""
+    opt = small_opt(corpus, tmp_path, batch_size=8, mesh_shape=(4, 2),
+                    vocab_pad_multiple=8)
+    tr = Trainer(opt, mesh=make_mesh((4, 2)), writer=None)
+
+    p_leaves = jax.tree_util.tree_leaves_with_path(tr.params)
+    param_sh = {jax.tree_util.keystr(path): leaf.sharding
+                for path, leaf in p_leaves}
+    # Some param must actually be vocab-sharded for this test to bite.
+    assert any(sh.spec != jax.sharding.PartitionSpec()
+               for sh in param_sh.values())
+
+    inner = tr.opt_state.inner_state  # inject_hyperparams wrapper
+    moment_trees = [s for s in jax.tree_util.tree_leaves(
+        inner, is_leaf=lambda x: hasattr(x, "mu"))
+        if hasattr(x := s, "mu")]
+    assert moment_trees, "adam state not found"
+    adam = moment_trees[0]
+    for tree in (adam.mu, adam.nu):
+        for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+            assert leaf.sharding == param_sh[jax.tree_util.keystr(path)], \
+                f"moment {jax.tree_util.keystr(path)} sharding mismatch"
 
 
 def test_resume_from_checkpoint(corpus, tmp_path):
