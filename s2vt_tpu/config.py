@@ -95,6 +95,8 @@ class Opt:
     metric_eval_freq: int = 0  # every N epochs: greedy-decode the valid
     #   split and log BLEU/METEOR/ROUGE-L/CIDEr (0 = off; new capability,
     #   the reference only tracks losses)
+    prefetch_depth: int = 2  # device-input double-buffering: batches with
+    #   an in-flight async device_put ahead of the consuming step (1 = off)
     vocab_pad_multiple: int = 1  # pad vocab size up to a multiple (e.g. 128
     #   for MXU-friendly logits and tensor-parallel vocab sharding); padded
     #   indices never occur in captions and are masked out of decode.

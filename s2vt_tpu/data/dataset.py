@@ -4,8 +4,9 @@ Replaces the reference's ``VideoDataset`` (/root/reference/dataloader.py:11-53),
 which creates CUDA tensors inside ``__getitem__`` (forcing num_workers=0 and
 a per-item H2D copy). Here the host assembles contiguous numpy batches with
 STATIC shapes — [B, L, feat_dim] feats, [B, L] labels/mask — and the training
-layer moves them to device with a single ``jax.device_put`` per batch
-(optionally double-buffered). The final partial batch is zero-padded to the
+layer moves them to device with a single ``jax.device_put`` per batch,
+double-buffered via ``prefetch_to_device`` so the next batch's H2D transfer
+overlaps the current step's compute. The final partial batch is zero-padded to the
 static batch size and carries a per-sample ``valid`` weight so XLA never sees
 a dynamic shape.
 
@@ -26,6 +27,24 @@ from typing import Dict, Iterator, List, NamedTuple, Optional
 import numpy as np
 
 from s2vt_tpu.data.corpus import load_captions, special_token_indices
+
+
+def _npy_native_compatible(path) -> bool:
+    """Header-only probe: True iff the C++ loader can read this file
+    (little-endian float32, C-order, 2-D — s2vt_loader.cpp parse_npy_header).
+    Files that fail (e.g. float64 or big-endian saves) still load through
+    the numpy path, which converts silently."""
+    try:
+        with open(path, "rb") as f:
+            version = np.lib.format.read_magic(f)
+            if version == (1, 0):
+                shape, fortran, dtype = np.lib.format.read_array_header_1_0(f)
+            else:
+                shape, fortran, dtype = np.lib.format.read_array_header_2_0(f)
+    except Exception:
+        return False
+    return (not fortran and len(shape) == 2
+            and dtype == np.dtype("<f4"))
 
 
 class Batch(NamedTuple):
@@ -71,14 +90,26 @@ class VideoDataset:
 
         self._native = None
         if backend in ("auto", "native") and not preload:
-            try:
-                from s2vt_tpu.data.native_loader import NativeFeatureLoader
-                self._native = NativeFeatureLoader(
-                    [str(p) for p in self.feat_paths],
-                    self.feat_len, self.feat_dim)
-            except Exception:
-                if backend == "native":
-                    raise
+            # Probe headers up front: the C++ loader only reads <f4 C-order
+            # 2-D files. With backend='auto' an incompatible file (float64,
+            # big-endian, pickled) silently routes the whole dataset to the
+            # numpy path — never a hard failure at iteration time.
+            compatible = all(_npy_native_compatible(p) for p in self.feat_paths)
+            if not compatible and backend == "native":
+                bad = [str(p) for p in self.feat_paths
+                       if not _npy_native_compatible(p)][:3]
+                raise ValueError(
+                    f"backend='native' requires little-endian float32 "
+                    f"C-order 2-D .npy files; incompatible: {bad}")
+            if compatible:
+                try:
+                    from s2vt_tpu.data.native_loader import NativeFeatureLoader
+                    self._native = NativeFeatureLoader(
+                        [str(p) for p in self.feat_paths],
+                        self.feat_len, self.feat_dim)
+                except Exception:
+                    if backend == "native":
+                        raise
         self.backend = "native" if self._native is not None else "numpy"
 
     def __len__(self) -> int:
@@ -128,35 +159,59 @@ class VideoDataset:
         if self._native is not None and len(order):
             native_iter = self._native.iter_batches(order, batch_size)
 
-        for start in range(0, len(order), batch_size):
-            idx = order[start:start + batch_size]
-            B = batch_size
-            labels = np.zeros((B, self.max_len), np.int32)
-            mask = np.zeros((B, self.max_len), np.float32)
-            valid = np.zeros((B,), np.float32)
-            ids = [""] * B
+        try:
+            for start in range(0, len(order), batch_size):
+                idx = order[start:start + batch_size]
+                B = batch_size
+                labels = np.zeros((B, self.max_len), np.int32)
+                mask = np.zeros((B, self.max_len), np.float32)
+                valid = np.zeros((B,), np.float32)
+                ids = [""] * B
+                if native_iter is not None:
+                    feats = next(native_iter)  # prefetched off-thread in C++
+                else:
+                    feats = np.zeros((B, self.feat_len, self.feat_dim),
+                                     np.float32)
+                for row, i in enumerate(idx):
+                    vid = self.feat_paths[i].stem
+                    caps = self.captions[vid]
+                    cap = caps[rng.integers(len(caps))]
+                    labels[row], mask[row] = self._encode_caption(cap)
+                    if native_iter is None:
+                        feats[row] = self._load_feat(i)
+                    valid[row] = 1.0
+                    ids[row] = vid
+                yield Batch(feats, labels, mask, valid, tuple(ids))
+        finally:
+            # Abandoned mid-epoch (consumer break/exception) or done either
+            # way: close promptly. The native loader's epoch-generation
+            # protocol makes a later epoch safe regardless.
             if native_iter is not None:
-                feats = next(native_iter)  # prefetched off-thread in C++
-            else:
-                feats = np.zeros((B, self.feat_len, self.feat_dim), np.float32)
-            for row, i in enumerate(idx):
-                vid = self.feat_paths[i].stem
-                caps = self.captions[vid]
-                cap = caps[rng.integers(len(caps))]
-                labels[row], mask[row] = self._encode_caption(cap)
-                if native_iter is None:
-                    feats[row] = self._load_feat(i)
-                valid[row] = 1.0
-                ids[row] = vid
-            yield Batch(feats, labels, mask, valid, tuple(ids))
-        if native_iter is not None:
-            # drain the sentinel so the loader is reusable next epoch
-            for _ in native_iter:
-                pass
+                native_iter.close()
 
     def steps_per_epoch(self, batch_size: int, drop_last: bool = False) -> int:
         n = len(self.feat_paths)
         return n // batch_size if drop_last else -(-n // batch_size)
+
+
+def prefetch_to_device(batches: Iterator[Batch], put_fn, depth: int = 2):
+    """Device-side input double-buffering.
+
+    ``jax.device_put`` is asynchronous on TPU: it enqueues the H2D copy and
+    returns immediately. Keeping ``depth`` puts in flight means batch t+1's
+    transfer rides under batch t's compute instead of serializing with it
+    (the reference serializes per-item H2D inside __getitem__,
+    dataloader.py:37-48). Yields ``(host_batch, device_arrays)`` — the host
+    batch keeps ids/valid for bookkeeping without a D2H readback.
+    """
+    from collections import deque
+    q = deque()
+    for batch in batches:
+        q.append((batch, put_fn(batch)))
+        if len(q) >= depth:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
 
 
 def make_synthetic_corpus(root: str, n_videos: int = 6, vocab_extra: int = 30,

@@ -102,15 +102,20 @@ class NativeFeatureLoader:
             arr, len(self.paths), feat_len, feat_dim, n_threads, queue_depth)
         if not self._handle:
             raise RuntimeError("s2vt_loader_create failed")
-        self._in_flight = False
+        # Epoch generation: each iter_batches() call supersedes the previous
+        # one. The C++ begin() safely abandons an in-flight epoch
+        # (s2vt_loader.cpp begin/abandon_gen protocol), so an abandoned
+        # Python generator — e.g. a consumer that broke mid-epoch — must not
+        # poison the next epoch; it simply stops if ever resumed.
+        self._epoch_gen = 0
 
     def iter_batches(self, order: Sequence[int],
                      batch: int) -> Iterator[np.ndarray]:
         """Yield [batch, feat_len, feat_dim] float32 arrays following
         ``order`` (indices into ``paths``); the last batch is zero-padded.
         Each yielded array is freshly allocated (safe to keep)."""
-        if self._in_flight:
-            raise RuntimeError("previous epoch not fully consumed")
+        self._epoch_gen += 1
+        gen = self._epoch_gen
         order_arr = np.ascontiguousarray(order, np.int32)
         # Snapshot BEFORE begin(): the pool starts loading immediately, so
         # reading the counter afterwards races the first failures.
@@ -119,24 +124,22 @@ class NativeFeatureLoader:
             self._handle,
             order_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             len(order_arr), batch)
-        self._in_flight = True
-        try:
-            while True:
-                out = np.empty((batch, self.feat_len, self.feat_dim),
-                               np.float32)
-                valid = self._lib.s2vt_loader_next(
-                    self._handle,
-                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
-                n_failed = self._lib.s2vt_loader_failed(self._handle) - failed0
-                if n_failed:
-                    raise RuntimeError(
-                        f"{n_failed} feature file(s) failed to load "
-                        f"(missing, wrong dtype/shape, or truncated .npy)")
-                if valid == 0:
-                    break
-                yield out
-        finally:
-            self._in_flight = False
+        while True:
+            if self._epoch_gen != gen:
+                return  # superseded by a newer epoch; don't steal its batches
+            out = np.empty((batch, self.feat_len, self.feat_dim),
+                           np.float32)
+            valid = self._lib.s2vt_loader_next(
+                self._handle,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            n_failed = self._lib.s2vt_loader_failed(self._handle) - failed0
+            if n_failed:
+                raise RuntimeError(
+                    f"{n_failed} feature file(s) failed to load "
+                    f"(missing, wrong dtype/shape, or truncated .npy)")
+            if valid == 0:
+                break
+            yield out
 
     def __del__(self):
         handle = getattr(self, "_handle", None)

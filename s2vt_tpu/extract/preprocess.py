@@ -44,14 +44,17 @@ def preprocess_frames(frames: jax.Array, mean: jax.Array, std: jax.Array,
     """uint8 RGB frames [N, H, W, 3] -> normalized float32 [N, S, S, 3].
 
     Matches TransformImage semantics: bilinear-resize the shorter side to
-    round(input_size / scale), center-crop input_size, /255, normalize.
+    int(floor(input_size / scale)), center-crop input_size, /255, normalize.
+    Both the shorter-side target and the scaled long side use truncation —
+    pretrainedmodels' TransformImage / torchvision Resize floor (299/0.875
+    -> 341, not 342), so extracted features track the reference pipeline.
     """
     N, H, W, C = frames.shape
-    target = int(round(input_size / scale))
+    target = int(input_size / scale)
     if H <= W:
-        new_h, new_w = target, max(int(round(W * target / H)), target)
+        new_h, new_w = target, max(int(target * W / H), target)
     else:
-        new_h, new_w = max(int(round(H * target / W)), target), target
+        new_h, new_w = max(int(target * H / W), target), target
     x = frames.astype(jnp.float32) / 255.0
     x = jax.image.resize(x, (N, new_h, new_w, C), method="bilinear",
                          antialias=True)

@@ -118,8 +118,14 @@ class CiderD:
         assert sorted(gts.keys()) == sorted(res.keys())
         ids = sorted(gts.keys())
         df = self.df_mode
-        log_ref_len = (self.ref_len if self.ref_len is not None
-                       else math.log(max(2.0, float(len(ids)))))
+        if self.ref_len is None:
+            # The idf scale must come from the corpus the df dict was built
+            # on (the py2 reference pickles ref_len alongside df); silently
+            # substituting log(#eval ids) skews every score.
+            raise ValueError(
+                "CiderD with a precomputed df dict requires ref_len "
+                "(log of the df corpus's document count)")
+        log_ref_len = self.ref_len
         inner = self.inner
         scores = []
         for i in ids:

@@ -199,13 +199,15 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def train_epoch(self, epoch: int) -> tuple:
+        from s2vt_tpu.data.dataset import prefetch_to_device
         losses = []
         clips = 0
         t0 = time.time()
         rng_epoch = jax.random.fold_in(self.dropout_base, epoch)
-        for i, batch in enumerate(self.train_ds.batches(self.opt.batch_size,
-                                                        epoch=epoch)):
-            feats, labels, mask, valid = self._put(batch)
+        batches = self.train_ds.batches(self.opt.batch_size, epoch=epoch)
+        for i, (batch, dev) in enumerate(prefetch_to_device(
+                batches, self._put, depth=self.opt.prefetch_depth)):
+            feats, labels, mask, valid = dev
             rng = jax.random.fold_in(rng_epoch, i)
             self.params, self.opt_state, loss = self._train_step(
                 self.params, self.opt_state, rng, feats, labels, mask, valid)
@@ -215,10 +217,13 @@ class Trainer:
         return mean_loss, clips / max(time.time() - t0, 1e-9)
 
     def valid_epoch(self, epoch: int) -> float:
+        from s2vt_tpu.data.dataset import prefetch_to_device
         losses, weights = [], []
-        for batch in self.valid_ds.batches(self.opt.batch_size, shuffle=False,
-                                           epoch=epoch):
-            feats, labels, mask, valid = self._put(batch)
+        batches = self.valid_ds.batches(self.opt.batch_size, shuffle=False,
+                                        epoch=epoch)
+        for batch, dev in prefetch_to_device(batches, self._put,
+                                             depth=self.opt.prefetch_depth):
+            feats, labels, mask, valid = dev
             losses.append(self._eval_step(self.params, feats, labels, mask, valid))
             weights.append(float(batch.valid.sum()))
         w = np.asarray(weights)

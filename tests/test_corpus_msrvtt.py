@@ -68,6 +68,8 @@ def test_ciderd_corpus_mode_matches_cider():
 
 def test_ciderd_precomputed_df():
     df = {("a",): 5.0, ("man",): 3.0, ("guitar",): 1.0}
+    with pytest.raises(ValueError, match="ref_len"):
+        CiderD(df_mode=df).compute_score(GTS, RES)
     d = CiderD(df_mode=df, ref_len=float(np.log(10.0)))
     score, per = d.compute_score(GTS, RES)
     assert np.isfinite(score) and per.shape == (2,)

@@ -132,6 +132,28 @@ def test_dataset_split_filter_and_specials(corpus):
     assert ds_train.ix2word[sp["sos_ix"]] == "<sos>"
 
 
+def test_prefetch_to_device(corpus):
+    """prefetch_to_device preserves order/completeness and keeps `depth`
+    puts in flight."""
+    from s2vt_tpu.data.dataset import VideoDataset, prefetch_to_device
+    ds = VideoDataset(corpus["captions_file"], corpus["feat_path"],
+                      max_len=8, mode="train", seed=0)
+    live = []
+
+    def put(batch):
+        live.append(batch.ids)
+        return batch.feats  # stand-in for device arrays
+
+    out = list(prefetch_to_device(ds.batches(2, epoch=0), put, depth=2))
+    want = list(ds.batches(2, epoch=0))
+    assert len(out) == len(want) == len(live)
+    for (host, dev), w in zip(out, want):
+        assert host.ids == w.ids
+        np.testing.assert_array_equal(dev, w.feats)
+    # puts were issued in batch order (ahead of consumption)
+    assert live == [w.ids for w in want]
+
+
 def test_ragged_feature_padding(tmp_path):
     """'free'-mode extraction yields ragged lengths; the numpy backend
     pads/truncates to the probed feat_len like the native loader."""

@@ -117,3 +117,55 @@ def test_abandoned_epoch_then_new_epoch(feat_files):
         got = np.concatenate(list(loader.iter_batches(order, batch=2)))
         want = np.stack([arrays[i] for i in order])
         np.testing.assert_array_equal(got[:3], want)
+
+
+def test_abandoned_generator_still_referenced(feat_files):
+    """ADVICE r1: a suspended old-epoch generator the caller still holds
+    must neither block the next epoch nor steal its batches — it just
+    stops when resumed."""
+    paths, arrays = feat_files
+    loader = NativeFeatureLoader(paths, 10, 16, n_threads=3, queue_depth=2)
+    stale = loader.iter_batches([0, 1, 2, 3, 4, 5], batch=2)
+    next(stale)  # suspend at yield, never closed
+    order = [5, 4, 3]
+    fresh = loader.iter_batches(order, batch=2)  # no 'in flight' raise
+    first = next(fresh)  # starting the new epoch supersedes the stale one
+    assert list(stale) == []  # resumed stale generator ends immediately
+    got = np.concatenate([first] + list(fresh))
+    np.testing.assert_array_equal(
+        got[:3], np.stack([arrays[i] for i in order]))
+
+
+def test_dataset_break_mid_epoch_native(tmp_path):
+    """VideoDataset.batches abandoned with `break` -> next epoch is clean."""
+    corpus = make_synthetic_corpus(str(tmp_path), n_videos=8, feat_len=10,
+                                   feat_dim=12, seed=5)
+    ds = VideoDataset(corpus["captions_file"], corpus["feat_path"],
+                      max_len=10, mode="train", seed=0, backend="native")
+    old_gen = ds.batches(3, epoch=0)
+    next(old_gen)  # consume one batch, keep the generator referenced
+    full = list(ds.batches(3, epoch=1))
+    assert len(full) == ds.steps_per_epoch(3)
+
+
+def test_auto_backend_falls_back_on_incompatible_dtype(tmp_path):
+    """ADVICE r1: a float64 .npy routes 'auto' to the numpy backend (which
+    converts) instead of a hard iteration-time failure; explicit 'native'
+    raises at init with the offending file named."""
+    corpus = make_synthetic_corpus(str(tmp_path), n_videos=6, feat_len=10,
+                                   feat_dim=12, seed=1)
+    # overwrite one train-split file as float64
+    ds_probe = VideoDataset(corpus["captions_file"], corpus["feat_path"],
+                            max_len=10, mode="train", seed=0, backend="numpy")
+    victim = ds_probe.feat_paths[0]
+    np.save(victim, np.load(victim).astype(np.float64))
+
+    ds = VideoDataset(corpus["captions_file"], corpus["feat_path"],
+                      max_len=10, mode="train", seed=0, backend="auto")
+    assert ds.backend == "numpy"
+    batches = list(ds.batches(3, epoch=0))  # loads fine via numpy
+    assert all(np.isfinite(b.feats).all() for b in batches)
+
+    with pytest.raises(ValueError, match="native"):
+        VideoDataset(corpus["captions_file"], corpus["feat_path"],
+                     max_len=10, mode="train", seed=0, backend="native")
