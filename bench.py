@@ -1,33 +1,56 @@
-"""Benchmark harness: MSVD-scale S2VT caption decode throughput on one chip.
+"""Benchmark harness: the full north-star surface on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. The headline metric stays the driver contract
+({"metric", "value", "unit", "vs_baseline"}); the "extra" field carries the
+rest of the BASELINE.md surface:
 
-Workload (BASELINE.md constants): S2VT with feat_dim=4096, L=80 (2L-1=159 RNN
-steps), dim_hid=dim_embed=512, vocab 10240 (~MSVD vocab padded to an
-MXU-friendly multiple of 128), greedy decode (the reference eval.py:30-60
-path). Ours runs jitted on the chip with bfloat16 matmuls; the baseline is
-the reference's architecture driven the reference's way (per-step Python
-loop over torch LSTM cells, argmax re-fed) measured on this host's CPU —
-the reference is CUDA/CPU PyTorch (train.py:16) and no GPU exists here.
+ - caption decode clips/sec (S2VT greedy, the reference eval.py:30-60 path),
+ - feat-extract clips/sec (vgg16_bn forward over one 80-frame clip — the
+   reference's hot loop, extract_features.py:106-107),
+ - S2VT train-step ms at B=16 and B=64 with the fused Pallas kernel on/off
+   (the A/B behind ops/pallas_s2vt.py's 15.8 -> 9.7 ms claim),
+ - an MFU estimate for the train step (analytic matmul FLOPs / v5e peak).
+
+Timing discipline (see CLAUDE.md): every measurement runs ``iters``
+executions inside ONE jitted ``lax.scan`` whose per-iteration inputs are
+salted and whose result feeds the next salt, so the tunnel can neither
+cache nor elide executions; sync once at the end. Baselines are the
+reference's architecture driven the reference's way in PyTorch on this
+host's CPU — the reference is CUDA-or-CPU torch (train.py:16) and no GPU
+exists here; vs_baseline is therefore ours-on-TPU vs torch-on-CPU, reported
+as such.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
 
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: compiles through the axon tunnel
+    cost 40-250s each; with the cache a warm bench run spends seconds.
+    Must run before first jax backend use."""
+    import jax
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/s2vt_tpu/jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knob: just compile
+
 VOCAB, FEAT, L, H, E = 10240, 4096, 80, 512, 512
 SOS = 3
+V5E_BF16_PEAK = 197e12  # TPU v5e peak bf16 FLOP/s (public spec)
 
 
 def bench_jax(batch: int, iters: int) -> float:
-    """Times ``iters`` decodes inside ONE jitted ``lax.scan`` (each iteration
-    perturbs the features so no two executions are identical, and the result
-    feeds the next salt so nothing can be elided), synced once at the end.
-    This measures pure device throughput, excluding host/tunnel RPC latency."""
+    """Greedy-decode clips/sec on the chip (pure device throughput)."""
     import jax
     import jax.numpy as jnp
 
@@ -55,6 +78,102 @@ def bench_jax(batch: int, iters: int) -> float:
     _ = np.asarray(decode_many(params, feats, jnp.float32(1e-5), iters))
     dt = time.perf_counter() - t0
     return batch * iters / dt
+
+
+def bench_extract(iters: int) -> float:
+    """Feat-extract clips/sec: one vgg16_bn forward per 80-frame clip
+    (the reference loads + forwards one clip at a time,
+    extract_features.py:96-107; preprocessing is host/ffmpeg-side there, so
+    this times the CNN forward, which dominates)."""
+    import jax
+    import jax.numpy as jnp
+
+    from s2vt_tpu.extract.backbones import build_backbone
+
+    model, params, spec = build_backbone("vgg16_bn",
+                                         compute_dtype=jnp.bfloat16)
+    S = spec["input_size"]
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.normal(size=(L, S, S, 3)).astype(np.float32))
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=2)
+    def extract_many(params, salt0, n):
+        def body(salt, _):
+            feats = model.apply({"params": params}, frames + salt)
+            s = jnp.sum(feats).astype(jnp.float32)
+            return s * 1e-9, s
+        _, sums = jax.lax.scan(body, salt0, None, length=n)
+        return sums
+
+    _ = np.asarray(extract_many(params, jnp.float32(0.0), iters))  # compile
+    t0 = time.perf_counter()
+    _ = np.asarray(extract_many(params, jnp.float32(1e-5), iters))
+    dt = time.perf_counter() - t0
+    return iters / dt
+
+
+def bench_train_step(batch: int, use_pallas: bool, iters: int) -> float:
+    """Full S2VT train step (value_and_grad + adam update) ms/step."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from s2vt_tpu.models.s2vt import S2VT
+
+    model = S2VT(vocab_size=VOCAB, feat_dim=FEAT, length=L, dim_hid=H,
+                 dim_embed=E, sos_ix=SOS, eos_ix=4,
+                 compute_dtype=jnp.bfloat16, use_pallas=use_pallas)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(batch, L, FEAT)).astype(np.float32))
+    targets = jnp.asarray(rng.integers(0, VOCAB, size=(batch, L - 1),
+                                       dtype=np.int32))
+    params = model.init(jax.random.PRNGKey(0), feats, targets, mode="train",
+                        deterministic=True)["params"]
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, f):
+        logits = model.apply({"params": p}, f, targets, mode="train",
+                             deterministic=True)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
+        return jnp.mean(nll)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=3)
+    def steps(params, opt_state, salt0, n):
+        def body(carry, _):
+            p, s, salt = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p, feats + salt)
+            updates, s = tx.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s, loss * 1e-9), loss
+        (_, _, _), losses = jax.lax.scan(body, (params, opt_state, salt0),
+                                         None, length=n)
+        return losses
+
+    _ = np.asarray(steps(params, opt_state, jnp.float32(0.0), iters))  # compile
+    t0 = time.perf_counter()
+    _ = np.asarray(steps(params, opt_state, jnp.float32(1e-5), iters))
+    dt = time.perf_counter() - t0
+    return dt / iters * 1e3
+
+
+def train_matmul_flops(batch: int) -> float:
+    """Analytic matmul FLOPs of one S2VT teacher-forced train step
+    (fwd + bwd ~= 3x fwd for matmul-dominated nets)."""
+    T = 2 * L - 1
+    fwd = 0.0
+    fwd += batch * L * 2 * FEAT * H                 # feat_linear
+    fwd += batch * T * 2 * H * 4 * H                # vid_rnn input proj
+    fwd += batch * T * 2 * H * 4 * H                # vid_rnn recurrent
+    fwd += batch * T * 2 * (E + H) * 4 * H          # word_rnn input proj
+    fwd += batch * T * 2 * H * 4 * H                # word_rnn recurrent
+    fwd += batch * (L - 1) * 2 * H * VOCAB          # out_linear
+    return 3.0 * fwd
 
 
 def bench_torch_reference(batch: int, iters: int) -> float:
@@ -96,30 +215,99 @@ def bench_torch_reference(batch: int, iters: int) -> float:
     return batch * iters / dt
 
 
+def bench_torch_extract(iters: int) -> float:
+    """Reference-style extraction: one torch vgg16_bn forward per clip on
+    CPU (torchvision/pretrainedmodels are unavailable here, so the conv
+    stack is built to the same architecture with random weights — identical
+    FLOPs, which is what the timing measures)."""
+    import torch
+    import torch.nn as tnn
+
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512, "M"]
+    layers, c_in = [], 3
+    for v in cfg:
+        if v == "M":
+            layers.append(tnn.MaxPool2d(2, 2))
+        else:
+            layers += [tnn.Conv2d(c_in, v, 3, padding=1),
+                       tnn.BatchNorm2d(v), tnn.ReLU(inplace=True)]
+            c_in = v
+    features = tnn.Sequential(*layers)
+    head = tnn.Sequential(tnn.Flatten(), tnn.Linear(512 * 7 * 7, 4096),
+                          tnn.ReLU(inplace=True), tnn.Linear(4096, 4096),
+                          tnn.ReLU(inplace=True))  # last_linear == Identity
+    torch.manual_seed(0)
+    # A full 80-frame clip takes ~100s on this CPU; conv cost is linear in
+    # frames, so time an 8-frame slice and scale (keeps bench.py runnable).
+    n_frames = 8
+    frames = torch.randn(n_frames, 3, 224, 224)
+    with torch.no_grad():
+        features.eval(), head.eval()
+        head(features(frames))  # warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            head(features(frames))
+        dt = time.perf_counter() - t0
+    return iters / (dt * L / n_frames)
+
+
 def main():
+    _enable_compile_cache()
     ap = argparse.ArgumentParser()
     # Throughput-serving batch: decode is sequential-latency-bound per
     # step, so large batches amortize it (64 -> 12.4k clips/s; 1024 ->
     # ~32k; 2048 -> ~40k on one v5e). 1024 keeps batch latency ~32ms.
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--extract-iters", type=int, default=8)
+    ap.add_argument("--train-iters", type=int, default=20)
     ap.add_argument("--baseline-batch", type=int, default=10)  # eval.py:27
     ap.add_argument("--baseline-iters", type=int, default=3)
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--skip-extract", action="store_true")
+    ap.add_argument("--skip-train", action="store_true")
     args = ap.parse_args()
 
+    extra = {}
+
     ours = bench_jax(args.batch, args.iters)
+    extra["decode_batch"] = args.batch
+
+    if not args.skip_extract:
+        ex = bench_extract(args.extract_iters)
+        extra["extract_clips_per_sec"] = round(ex, 2)
+        ex_torch = bench_torch_extract(1)
+        extra["extract_torch_cpu_clips_per_sec"] = round(ex_torch, 3)
+        extra["extract_vs_torch_cpu"] = round(ex / ex_torch, 1)
+
+    if not args.skip_train:
+        for b in (16, 64):
+            on = bench_train_step(b, True, args.train_iters)
+            off = bench_train_step(b, False, args.train_iters)
+            extra[f"train_step_ms_b{b}_pallas"] = round(on, 2)
+            extra[f"train_step_ms_b{b}_scan"] = round(off, 2)
+        best64 = min(extra["train_step_ms_b64_pallas"],
+                     extra["train_step_ms_b64_scan"])
+        extra["train_mfu_b64"] = round(
+            train_matmul_flops(64) / (best64 * 1e-3) / V5E_BF16_PEAK, 4)
+
     if args.skip_baseline:
-        baseline = None
         vs = None
     else:
-        baseline = bench_torch_reference(args.baseline_batch, args.baseline_iters)
+        baseline = bench_torch_reference(args.baseline_batch,
+                                         args.baseline_iters)
+        extra["decode_torch_cpu_clips_per_sec"] = round(baseline, 2)
         vs = ours / baseline
+    extra["baseline_note"] = ("torch-CPU reference (no GPU on this host); "
+                              "vs_baseline is TPU-vs-CPU, not like-for-like")
+
     print(json.dumps({
         "metric": "s2vt_greedy_decode_clips_per_sec_chip",
         "value": round(ours, 2),
         "unit": "clips/sec",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        "extra": extra,
     }))
 
 

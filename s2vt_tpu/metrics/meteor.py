@@ -8,15 +8,26 @@ checkout and java is absent from this image, so:
 
  - backend='jar': preserves the reference's exact subprocess contract for
    environments that have java + meteor-1.5.jar (pass ``jar_path``).
- - backend='lite' (default fallback): a pure-Python METEOR with the
-   METEOR 1.5 English parameters (alpha=0.85, beta=0.2, gamma=0.6; stage
-   weights exact=1.0, stem=0.6, synonym=0.8) implementing the exact and
-   Porter-stem matcher stages (+ WordNet synonymy when the corpus is
-   available). Known deviations from the jar, documented for the parity
-   report: no paraphrase-table stage, no function-word discounting (delta),
-   and a greedy contiguity-preferring aligner instead of the jar's
-   chunk-minimizing beam search. Segment scores typically agree with the
-   jar to within ~1 point on MSVD-scale corpora.
+ - backend='lite' (default fallback): a pure-Python METEOR 1.5
+   (Denkowski & Lavie 2014) with the English rank-task parameters
+   (alpha=0.85, beta=0.2, gamma=0.6, delta=0.75; stage weights exact=1.0,
+   stem=0.6, synonym=0.8) implementing:
+     * matcher stages: exact, Porter stem, WordNet synonymy (first stage
+       that matches a word pair marks it, like the jar's matcher order),
+     * the jar's CHUNK-MINIMIZING beam-search aligner: partial alignments
+       over hypothesis positions ranked by (word coverage desc, chunks asc,
+       total |i-j| distance asc), beam width 40 — Meteor Aligner.java's
+       resolution order, replacing the r1 greedy aligner,
+     * the DELTA function-word discount: matched/total word counts weight
+       content words by delta and function words by 1-delta. The jar reads
+       its function.words list (a data blob); here the list is the standard
+       English closed class, documented below.
+   Remaining deviations from the jar, both data-blob-gated: the paraphrase
+   stage (paraphrase-en.gz unavailable offline) and — only when the nltk
+   WordNet corpus is absent from the image — the synonym stage. Both
+   stages only ADD matches, so lite <= jar on segments where they fire and
+   is equal elsewhere (bounded deviation by construction; see
+   tests/test_meteor_aligner.py).
 
 Corpus aggregation matches the jar's EVAL semantics: per segment the best
 reference (by segment score) contributes its match statistics to a corpus
@@ -28,11 +39,33 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
-# METEOR 1.5 'en' defaults (rank task).
+# METEOR 1.5 'en' rank-task defaults.
 ALPHA = 0.85
 BETA = 0.2
 GAMMA = 0.6
-STAGE_WEIGHTS = (1.0, 0.6, 0.8)  # exact, stem, synonym
+DELTA = 0.75                       # content-word weight (function = 1-delta)
+STAGE_WEIGHTS = (1.0, 0.6, 0.8)    # exact, stem, synonym
+BEAM_WIDTH = 40                    # the jar Aligner's default beam
+
+# English function words: approximates meteor-1.5/data/function.words (the
+# jar derives it as words with relative corpus frequency > 1e-3 — i.e. the
+# closed class plus high-frequency auxiliaries/pronouns). The jar's exact
+# list is a data blob; this is the standard closed-class inventory.
+FUNCTION_WORDS = frozenset("""
+a an the
+am is are was were be been being
+do does did done doing
+have has had having
+will would shall should can could may might must ought
+i you he she it we they me him her us them
+my your his its our their mine yours hers ours theirs
+this that these those there here
+who whom whose which what when where why how
+of in to for with on at by from up down about into over after under
+between out against during without before around among through
+and or but if while because as until although though so nor yet than
+not no nor n't 's 'll 're 've 'd 'm
+""".split())
 
 
 def _porter():
@@ -50,12 +83,14 @@ def _wordnet_synsets():
 
 
 class _Aligner:
-    """Stage-based 1-1 word alignment between hypothesis and reference."""
+    """Meteor 1.5-style 1-1 word aligner (beam search, chunk-minimizing)."""
 
-    def __init__(self):
+    def __init__(self, beam: int = BEAM_WIDTH):
         self.stemmer = _porter()
         self.wn = _wordnet_synsets()
+        self.beam = beam
         self._stem_cache: Dict[str, str] = {}
+        self._syn_cache: Dict[str, frozenset] = {}
 
     def _stem(self, w: str) -> str:
         s = self._stem_cache.get(w)
@@ -64,59 +99,61 @@ class _Aligner:
             self._stem_cache[w] = s
         return s
 
-    def _synonyms(self, w: str) -> set:
-        if self.wn is None:
-            return set()
-        syns = set()
-        for ss in self.wn.synsets(w):
-            for lemma in ss.lemmas():
-                syns.add(lemma.name().lower())
+    def _synonyms(self, w: str) -> frozenset:
+        syns = self._syn_cache.get(w)
+        if syns is None:
+            acc = {w}
+            if self.wn is not None:
+                for ss in self.wn.synsets(w):
+                    for lemma in ss.lemmas():
+                        acc.add(lemma.name().lower())
+            syns = frozenset(acc)
+            self._syn_cache[w] = syns
         return syns
 
+    def match_stage(self, hw: str, rw: str) -> int:
+        """First matcher stage (0 exact, 1 stem, 2 synonym) that matches the
+        pair, or -1 — the jar marks each pair with its earliest stage."""
+        if hw == rw:
+            return 0
+        if self._stem(hw) == self._stem(rw):
+            return 1
+        if self.wn is not None and rw in self._synonyms(hw):
+            return 2
+        return -1
+
     def align(self, hyp: List[str], ref: List[str]) -> List[Tuple[int, int, int]]:
-        """Returns matches [(hyp_i, ref_j, stage)] — 1-1, stage in {0,1,2}.
+        """Best 1-1 alignment [(hyp_i, ref_j, stage)], selected by the jar's
+        resolution order: max word coverage, then min chunks, then min total
+        |i - j| start distance. Beam search over hypothesis positions."""
+        n, m = len(hyp), len(ref)
+        if n == 0 or m == 0:
+            return []
+        poss = [[self.match_stage(hw, rw) for rw in ref] for hw in hyp]
 
-        Greedy by stage; within a stage each hyp word takes the unmatched
-        ref position nearest its expected monotone position, which favors
-        long contiguous chunks (the quantity METEOR's beam search minimizes).
-        """
-        matches: List[Tuple[int, int, int]] = []
-        hyp_used = [False] * len(hyp)
-        ref_used = [False] * len(ref)
-
-        def run_stage(stage: int, key_hyp, key_ref):
-            ref_keys = [key_ref(w) for w in ref]
-            for i, hw in enumerate(hyp):
-                if hyp_used[i]:
-                    continue
-                hk = key_hyp(hw)
-                best_j, best_dist = -1, None
-                expected = i * len(ref) / max(len(hyp), 1)
-                for j, rk in enumerate(ref_keys):
-                    if ref_used[j]:
+        # state: (used_ref_mask, last_i, last_j, matches, chunks, dist, pairs)
+        beam = [(0, -2, -2, 0, 0, 0, ())]
+        for i in range(n):
+            cand = list(beam)  # skipping hyp word i keeps the state as-is
+            for used, li, lj, mt, ch, ds, pairs in beam:
+                row = poss[i]
+                for j in range(m):
+                    stage = row[j]
+                    if stage < 0 or (used >> j) & 1:
                         continue
-                    hit = (hk == rk) if stage < 2 else (
-                        rk in hk if isinstance(hk, set) else False)
-                    if hit:
-                        dist = abs(j - expected)
-                        if best_dist is None or dist < best_dist:
-                            best_j, best_dist = j, dist
-                if best_j >= 0:
-                    hyp_used[i] = True
-                    ref_used[best_j] = True
-                    matches.append((i, best_j, stage))
-
-        run_stage(0, lambda w: w, lambda w: w)
-        run_stage(1, self._stem, self._stem)
-        if self.wn is not None:
-            # synonym stage: ref word in hyp word's synonym set (or equal stems
-            # already handled). key_hyp returns the synset-lemma set.
-            run_stage(2, lambda w: self._synonyms(w) | {w}, lambda w: w)
-        return sorted(matches)
+                    contiguous = (i == li + 1 and j == lj + 1)
+                    cand.append((used | (1 << j), i, j, mt + 1,
+                                 ch + (0 if contiguous else 1),
+                                 ds + abs(i - j),
+                                 pairs + ((i, j, stage),)))
+            cand.sort(key=lambda s: (-s[3], s[4], s[5]))
+            beam = cand[:self.beam]
+        return list(beam[0][6])
 
     @staticmethod
     def count_chunks(matches: List[Tuple[int, int, int]]) -> int:
-        """Contiguous-in-both-sides runs of the alignment (METEOR chunks)."""
+        """Contiguous-in-both-sides runs of the alignment (METEOR chunks).
+        ``matches`` must be sorted by hyp index (align() returns them so)."""
         if not matches:
             return 0
         chunks = 1
@@ -126,31 +163,38 @@ class _Aligner:
         return chunks
 
 
-class _Stats:
-    __slots__ = ("weighted_h", "weighted_r", "matches", "chunks", "hyp_len", "ref_len")
+def _word_weight(w: str) -> float:
+    return (1.0 - DELTA) if w in FUNCTION_WORDS else DELTA
 
-    def __init__(self, weighted_h=0.0, weighted_r=0.0, matches=0, chunks=0,
-                 hyp_len=0, ref_len=0):
+
+class _Stats:
+    """Sufficient statistics of one segment (or a corpus accumulation)."""
+
+    __slots__ = ("weighted_h", "weighted_r", "wlen_h", "wlen_r",
+                 "matches", "chunks")
+
+    def __init__(self, weighted_h=0.0, weighted_r=0.0, wlen_h=0.0,
+                 wlen_r=0.0, matches=0, chunks=0):
         self.weighted_h = weighted_h
         self.weighted_r = weighted_r
+        self.wlen_h = wlen_h
+        self.wlen_r = wlen_r
         self.matches = matches
         self.chunks = chunks
-        self.hyp_len = hyp_len
-        self.ref_len = ref_len
 
     def add(self, other: "_Stats") -> None:
         self.weighted_h += other.weighted_h
         self.weighted_r += other.weighted_r
+        self.wlen_h += other.wlen_h
+        self.wlen_r += other.wlen_r
         self.matches += other.matches
         self.chunks += other.chunks
-        self.hyp_len += other.hyp_len
-        self.ref_len += other.ref_len
 
     def score(self) -> float:
-        if self.hyp_len == 0 or self.ref_len == 0 or self.matches == 0:
+        if self.wlen_h == 0.0 or self.wlen_r == 0.0 or self.matches == 0:
             return 0.0
-        p = self.weighted_h / self.hyp_len
-        r = self.weighted_r / self.ref_len
+        p = self.weighted_h / self.wlen_h
+        r = self.weighted_r / self.wlen_r
         if p == 0.0 or r == 0.0:
             return 0.0
         fmean = p * r / (ALPHA * p + (1 - ALPHA) * r)
@@ -180,15 +224,21 @@ class Meteor:
 
     def _segment_stats(self, hyp: str, refs: List[str]) -> _Stats:
         hyp_w = hyp.split()
+        wlen_h = sum(_word_weight(w) for w in hyp_w)
         best: Optional[_Stats] = None
         for ref in refs:
             ref_w = ref.split()
             matches = self.aligner.align(hyp_w, ref_w)
-            weighted = sum(STAGE_WEIGHTS[s] for _, _, s in matches)
-            st = _Stats(weighted_h=weighted, weighted_r=weighted,
-                        matches=len(matches),
-                        chunks=self.aligner.count_chunks(matches),
-                        hyp_len=len(hyp_w), ref_len=len(ref_w))
+            sw = STAGE_WEIGHTS
+            st = _Stats(
+                weighted_h=sum(sw[s] * _word_weight(hyp_w[i])
+                               for i, _, s in matches),
+                weighted_r=sum(sw[s] * _word_weight(ref_w[j])
+                               for _, j, s in matches),
+                wlen_h=wlen_h,
+                wlen_r=sum(_word_weight(w) for w in ref_w),
+                matches=len(matches),
+                chunks=self.aligner.count_chunks(matches))
             if best is None or st.score() > best.score():
                 best = st
         return best if best is not None else _Stats()
