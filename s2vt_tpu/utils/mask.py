@@ -204,6 +204,39 @@ def frString(s: bytes, h: int, w: int) -> Dict:
     return {"size": [h, w], "counts": out[:n].copy()}
 
 
+def frUncompressedRLE(rle: Dict) -> Dict:
+    """COCO 'uncompressed RLE' ({'counts': list, 'size': [h, w]}) -> the
+    counts-array RLE used by this module."""
+    h, w = rle["size"]
+    return {"size": [h, w], "counts": _u32(rle["counts"])}
+
+
+def frPyObjects(pyobj, h: int, w: int):
+    """pycocotools.mask.frPyObjects dispatcher (reference mask.py:76-96):
+    polygons (list of float lists), an [N, 4] bbox array, a single polygon,
+    or an uncompressed-RLE dict -> RLE(s). Lists map elementwise."""
+    if isinstance(pyobj, np.ndarray) and pyobj.ndim == 2:
+        return [frBbox(b, h, w) for b in pyobj]
+    if isinstance(pyobj, dict) and "counts" in pyobj:
+        return frUncompressedRLE(pyobj)
+    if isinstance(pyobj, (list, tuple)):
+        if len(pyobj) == 0:
+            return []
+        first = pyobj[0]
+        if isinstance(first, dict):
+            return [frUncompressedRLE(o) for o in pyobj]
+        if isinstance(first, (list, tuple, np.ndarray)):
+            out = []
+            for o in pyobj:
+                o = np.asarray(o, np.float64).reshape(-1)
+                out.append(frBbox(o, h, w) if o.size == 4
+                           else frPoly([o], h, w))
+            return out
+        arr = np.asarray(pyobj, np.float64).reshape(-1)
+        return frBbox(arr, h, w) if arr.size == 4 else frPoly([arr], h, w)
+    raise TypeError(f"unsupported segmentation object {type(pyobj)!r}")
+
+
 def frPoly(polys: Sequence[Sequence[float]], h: int, w: int) -> Dict:
     """Polygon(s) [x0,y0,x1,y1,...] -> RLE (union of filled polygons,
     even-odd scanline rasterization)."""
