@@ -41,6 +41,16 @@ CHUNK = 4           # fwd time steps per grid step (VMEM-bounded at MSVD
 BWD_CHUNK = 2       # bwd streams 6 chunk blocks + dW accumulator: smaller
 
 
+def _fwd_chunk(batch: int) -> int:
+    """Stream footprint scales with CHUNK*B: halve the time block past
+    B=64 so B<=128 stays inside the VMEM budget."""
+    return CHUNK // 2 if batch > 64 else CHUNK
+
+
+def _bwd_chunk(batch: int) -> int:
+    return 1 if batch > 64 else BWD_CHUNK
+
+
 def _interpret() -> bool:
     return _INTERPRET or jax.default_backend() != "tpu"
 
@@ -48,12 +58,15 @@ def _interpret() -> bool:
 def pallas_shapes_ok(batch: int, hidden: int) -> bool:
     """Single source of truth for the Pallas-kernel shape gate (per-layer
     and fused kernels): MXU/VPU alignment, and the small-batch
-    latency-optimized regime. B <= 64 is the hardware-validated VMEM
-    envelope at H=512 (B=96+ overflows the 16MB scoped budget with the
-    fused kernel's double-buffered streams); larger batches route to the
-    XLA scan path, whose bigger per-step matmuls amortize the sequential
-    latency better anyway."""
-    return batch % 8 == 0 and batch <= 64 and hidden % 128 == 0
+    latency-optimized regime. B <= 96 is the hardware-validated VMEM
+    envelope at H=512 (1-step chunks + zero-block-free backward weights
+    + matmul-dtype gradient streams; B=128 still overflows the 16MB
+    scoped budget). Measured full-train-step A/B on one v5e, bf16
+    (BENCH r2): B=64 fused 8.9ms vs scan 12.4ms; B=96 fused 12.2ms vs
+    scan 15.1ms; B=128 fused OOM vs scan 18.5ms — larger batches route
+    to the XLA scan path, whose bigger per-step matmuls amortize the
+    sequential latency."""
+    return batch % 8 == 0 and batch <= 96 and hidden % 128 == 0
 
 
 def _pad_time(x: jax.Array, t_pad: int) -> jax.Array:
@@ -117,8 +130,9 @@ def _run_forward(x_proj_t: jax.Array, w_hh_t: jax.Array, h0: jax.Array,
                  c0: jax.Array, compute_bf16: bool):
     T, B, G = x_proj_t.shape
     H = G // 4
-    nb = -(-T // CHUNK)
-    t_pad = nb * CHUNK
+    C = _fwd_chunk(B)
+    nb = -(-T // C)
+    t_pad = nb * C
     x_proj_t = _pad_time(x_proj_t, t_pad)
     if compute_bf16:
         w_hh_t = w_hh_t.astype(jnp.bfloat16)
@@ -130,15 +144,15 @@ def _run_forward(x_proj_t: jax.Array, w_hh_t: jax.Array, h0: jax.Array,
         kernel,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((CHUNK, B, G), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, G), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, G), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), const, memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((CHUNK, B, H), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, B, G), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, B, H), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, H), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, G), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, H), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), const, memory_space=pltpu.VMEM),
         ),
@@ -215,8 +229,9 @@ def _run_backward(gates, cseq, cprev, w_hh, dout, dhT, dcT,
                   compute_bf16: bool):
     T, B, G = gates.shape
     H = G // 4
-    nb = -(-T // BWD_CHUNK)
-    t_pad = nb * BWD_CHUNK
+    C = _bwd_chunk(B)
+    nb = -(-T // C)
+    t_pad = nb * C
     gates, cseq, cprev, dout = (
         _pad_time(a, t_pad) for a in (gates, cseq, cprev, dout))
     if compute_bf16:
@@ -229,16 +244,16 @@ def _run_backward(gates, cseq, cprev, w_hh, dout, dhT, dcT,
         kernel,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((BWD_CHUNK, B, G), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((BWD_CHUNK, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((BWD_CHUNK, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, G), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, H), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((G, H), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((BWD_CHUNK, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, H), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), const, memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((BWD_CHUNK, B, G), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, G), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), const, memory_space=pltpu.VMEM),
         ),

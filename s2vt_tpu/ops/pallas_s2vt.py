@@ -20,10 +20,12 @@ by one step and fuses their recurrent projections into a single
                                       pre-projected into x2 outside)
 
 Both chains' 2L-1 steps complete in ~(2L) iterations of one combined
-matmul + two cells (vs 2x(2L-1) iterations for per-layer kernels). Measured
-on one v5e at MSVD scale: full S2VT train step 15.8 -> 9.7 ms vs the
-lax.scan path (per-step time is latency-bound, so the single fused kernel
-also halves the number of kernel launches on the decode path).
+matmul + two cells (vs 2x(2L-1) iterations for per-layer kernels).
+Measured on one v5e at MSVD scale, full train step (value_and_grad +
+adam), fused vs lax.scan (BENCH r2): B=16 4.2 vs 7.8 ms; B=64 8.9 vs
+12.4 ms; B=96 12.2 vs 15.1 ms; B=128 exceeds the VMEM envelope and the
+gate routes to scan (18.5 ms). Per-step time is latency-bound, so the
+single fused kernel also halves kernel launches on the decode path.
 
 The backward pass is the same trick in reverse (one fused matmul produces
 dh1-chain and dh2-chain contributions), with dW/dx projections as big MXU
@@ -48,6 +50,13 @@ from jax.experimental.pallas import tpu as pltpu
 CHUNK = 2  # W_all (8.4MB bf16 at H=512) owns the VMEM; 2-step blocks with
 #   matmul-dtype input streams amortize per-grid-step overhead and still fit
 _INTERPRET = False
+
+
+def _chunk_for(batch: int) -> int:
+    """Time-steps per grid step: the double-buffered stream footprint
+    scales with CHUNK*B, so large batches drop to 1-step blocks to stay
+    inside the 16MB VMEM budget next to the resident W_all."""
+    return 1 if batch > 64 else CHUNK
 
 # Validated VMEM envelope for the resident W_all block: bf16 at H=512 is
 # 8.4MB (the hardware-tested config). The gate scales by dtype width so an
@@ -170,8 +179,9 @@ def _run_fwd(x1t, x2t, w_all, snap_idx: int, compute_bf16: bool = True):
     T, B, G = x1t.shape
     H = G // 4
     T1 = T + 1
-    nb = -(-T1 // CHUNK)
-    rows = nb * CHUNK
+    C = _chunk_for(B)
+    nb = -(-T1 // C)
+    rows = nb * C
     x1p = _pad_rows(x1t, rows).astype(mmd)
     # shift word inputs: row t holds x2 for word step t-1
     x2s = _pad_rows(jnp.concatenate([jnp.zeros((1, B, G), x2t.dtype), x2t],
@@ -192,15 +202,15 @@ def _run_fwd(x1t, x2t, w_all, snap_idx: int, compute_bf16: bool = True):
         k,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((CHUNK, B, G), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, B, G), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, G), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, G), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * H, 2 * G), const, memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(
-            [pl.BlockSpec((CHUNK, B, G), blk, memory_space=pltpu.VMEM),
-             pl.BlockSpec((CHUNK, B, H), blk, memory_space=pltpu.VMEM),
-             pl.BlockSpec((CHUNK, B, G), blk, memory_space=pltpu.VMEM),
-             pl.BlockSpec((CHUNK, B, H), blk, memory_space=pltpu.VMEM)] +
+            [pl.BlockSpec((C, B, G), blk, memory_space=pltpu.VMEM),
+             pl.BlockSpec((C, B, H), blk, memory_space=pltpu.VMEM),
+             pl.BlockSpec((C, B, G), blk, memory_space=pltpu.VMEM),
+             pl.BlockSpec((C, B, H), blk, memory_space=pltpu.VMEM)] +
             [pl.BlockSpec((B, H), const, memory_space=pltpu.VMEM)] * 6),
         out_shape=tuple(
             [jax.ShapeDtypeStruct((rows, B, G), mmd),            # gates1
@@ -224,12 +234,17 @@ def _run_fwd(x1t, x2t, w_all, snap_idx: int, compute_bf16: bool = True):
 
 
 def _bwd_kernel(g1r_ref, c1r_ref, c1pr_ref, g2r_ref, c2r_ref, c2pr_ref,
-                do2r_ref, wb_ref, dxp1r_ref, dxp2r_ref,
+                do2r_ref, wb1_ref, wb2_ref, dxp1r_ref, dxp2r_ref,
                 dg1_s, dg2_s, dc1_s, dc2_s, *, seq_len: int):
     """Reverse sweep in 'iteration order' j (arrays pre-flipped outside):
       phase A' at j: dgates1 for t1 = T - j   (valid j >= 1)
       phase B' at j: dgates2 for t2 = T-1 - j (valid j <= T-1)
-    Streams: *_A rows j hold time T-j; *_B rows j hold time T-1-j."""
+    Streams: *_A rows j hold time T-j; *_B rows j hold time T-1-j.
+
+    The chain weights are SPLIT (wb1 [2G, H] -> dh1, wb2 [G, H] -> dh2)
+    rather than one [2G, 2H] block: the block's top-right quarter is
+    structurally zero, and dropping it saves G*H weights of VMEM — the
+    difference between fitting B=96-128 and not."""
     j0 = pl.program_id(0)
     C = g1r_ref.shape[0]
     T = seq_len
@@ -244,27 +259,29 @@ def _bwd_kernel(g1r_ref, c1r_ref, c1pr_ref, g2r_ref, c2r_ref, c2pr_ref,
     for k in range(C):
         j = j0 * C + k
         pair = jnp.concatenate([dg1_s[:], dg2_s[:]],
-                               axis=-1).astype(wb_ref.dtype)
-        chain = jnp.dot(pair, wb_ref[:], preferred_element_type=jnp.float32)
-        H = chain.shape[-1] // 2
+                               axis=-1).astype(wb1_ref.dtype)
+        dh1_chain = jnp.dot(pair, wb1_ref[:],
+                            preferred_element_type=jnp.float32)
+        dh2_chain = jnp.dot(dg2_s[:].astype(wb2_ref.dtype), wb2_ref[:],
+                            preferred_element_type=jnp.float32)
 
         # phase B': dgates2 at t2 = T-1-j
         @pl.when(jnp.logical_and(j <= T - 1, j >= 0))
         def _():
-            dh2 = chain[:, H:] + do2r_ref[k]
+            dh2 = dh2_chain + do2r_ref[k]
             dgates2, dc2p = _cell_bwd(g2r_ref[k].astype(jnp.float32),
                                       c2r_ref[k], c2pr_ref[k], dh2, dc2_s[:])
-            dxp2r_ref[k] = dgates2
+            dxp2r_ref[k] = dgates2.astype(dxp2r_ref.dtype)
             dg2_s[:] = dgates2
             dc2_s[:] = dc2p
 
         # phase A': dgates1 at t1 = T-j
         @pl.when(jnp.logical_and(j >= 1, j <= T))
         def _():
-            dh1 = chain[:, :H]
             dgates1, dc1p = _cell_bwd(g1r_ref[k].astype(jnp.float32),
-                                      c1r_ref[k], c1pr_ref[k], dh1, dc1_s[:])
-            dxp1r_ref[k] = dgates1
+                                      c1r_ref[k], c1pr_ref[k], dh1_chain,
+                                      dc1_s[:])
+            dxp1r_ref[k] = dgates1.astype(dxp1r_ref.dtype)
             dg1_s[:] = dgates1
             dc1_s[:] = dc1p
 
@@ -280,13 +297,14 @@ def _rev_b(x_time, rows):
     return _pad_rows(jnp.flip(x_time, 0), rows)
 
 
-def _run_bwd(g1, c1, c1prev, g2, c2, c2prev, dout2, wb,
+def _run_bwd(g1, c1, c1prev, g2, c2, c2prev, dout2, wb1, wb2,
              compute_bf16: bool = True):
     T, B, G = g1.shape
     H = G // 4
     T1 = T + 1
-    nb = -(-T1 // CHUNK)
-    rows = nb * CHUNK
+    C = _chunk_for(B)
+    nb = -(-T1 // C)
+    rows = nb * C
 
     g1r = _rev_a(g1, rows)
     c1r = _rev_a(c1, rows)
@@ -295,7 +313,9 @@ def _run_bwd(g1, c1, c1prev, g2, c2, c2prev, dout2, wb,
     c2r = _rev_b(c2, rows)
     c2pr = _rev_b(c2prev, rows)
     do2r = _rev_b(dout2, rows)
-    wb16 = wb.astype(_mm_dtype(compute_bf16))
+    mmd = _mm_dtype(compute_bf16)
+    wb1 = wb1.astype(mmd)
+    wb2 = wb2.astype(mmd)
 
     blk = lambda i: (i, 0, 0)
     const = lambda i: (0, 0)
@@ -304,22 +324,25 @@ def _run_bwd(g1, c1, c1prev, g2, c2, c2prev, dout2, wb,
         kernel,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((CHUNK, B, G), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, B, H), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, B, H), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, B, G), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, B, H), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, B, H), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, B, H), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * G, 2 * H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, G), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, H), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, H), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, G), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, H), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, H), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, H), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * G, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, H), const, memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((CHUNK, B, G), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, B, G), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, G), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, B, G), blk, memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((rows, B, G), jnp.float32),
-            jax.ShapeDtypeStruct((rows, B, G), jnp.float32),
+            # gradient streams in the matmul dtype: in bf16 mode this saves
+            # the VMEM that lets B=128 fit (they feed bf16 dW matmuls anyway)
+            jax.ShapeDtypeStruct((rows, B, G), mmd),
+            jax.ShapeDtypeStruct((rows, B, G), mmd),
         ),
         scratch_shapes=[
             pltpu.VMEM((B, G), jnp.float32),
@@ -328,10 +351,10 @@ def _run_bwd(g1, c1, c1prev, g2, c2, c2prev, dout2, wb,
             pltpu.VMEM((B, H), jnp.float32),
         ],
         interpret=_interpret(),
-    )(g1r, c1r, c1pr, g2r, c2r, c2pr, do2r, wb16)
+    )(g1r, c1r, c1pr, g2r, c2r, c2pr, do2r, wb1, wb2)
     # un-reverse: dxp1r row j -> time T-j (rows 1..T); dxp2r row j -> T-1-j
-    dxp1 = jnp.flip(dxp1r[1:T + 1], 0)
-    dxp2 = jnp.flip(dxp2r[:T], 0)
+    dxp1 = jnp.flip(dxp1r[1:T + 1], 0).astype(jnp.float32)
+    dxp2 = jnp.flip(dxp2r[:T], 0).astype(jnp.float32)
     return dxp1, dxp2
 
 
@@ -355,11 +378,11 @@ def _assemble_wall(w1hh, w2v, w2hh):
 
 
 def _assemble_wb(w1hh, w2v, w2hh):
-    """[8H, 2H]: [dgates1 | dgates2] -> [dh1 | dh2]."""
-    G, H = w1hh.shape
-    top = jnp.concatenate([w1hh, jnp.zeros((G, H), w1hh.dtype)], axis=1)
-    bot = jnp.concatenate([w2v, w2hh], axis=1)
-    return jnp.concatenate([top, bot], axis=0)
+    """Backward chain weights, zero-block-free: wb1 [8H, H] maps
+    [dgates1 | dgates2] -> dh1 (= dg1 @ w1hh + dg2 @ w2v); wb2 [4H, H]
+    maps dgates2 -> dh2 (= dg2 @ w2hh)."""
+    wb1 = jnp.concatenate([w1hh, w2v], axis=0)
+    return wb1, w2hh
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -397,8 +420,8 @@ def _fused_bwd(compute_bf16, resid, dout2):
     zero = jnp.zeros((1, B, H), jnp.float32)
     c1prev = jnp.concatenate([zero, c1[:-1]], axis=0)
     c2prev = jnp.concatenate([zero, c2[:-1]], axis=0)
-    dxp1, dxp2 = _run_bwd(g1, c1, c1prev, g2, c2, c2prev, dout2,
-                          _assemble_wb(w1hh, w2v, w2hh),
+    wb1, wb2 = _assemble_wb(w1hh, w2v, w2hh)
+    dxp1, dxp2 = _run_bwd(g1, c1, c1prev, g2, c2, c2prev, dout2, wb1, wb2,
                           compute_bf16=compute_bf16)
 
     h1 = _h_from(g1, c1)                                      # out1 [T, B, H]
