@@ -8,7 +8,7 @@ rest of the BASELINE.md surface:
  - feat-extract clips/sec (vgg16_bn forward over one 80-frame clip — the
    reference's hot loop, extract_features.py:106-107),
  - S2VT train-step ms at B=16 and B=64 with the fused Pallas kernel on/off
-   (the A/B behind ops/pallas_s2vt.py's 15.8 -> 9.7 ms claim),
+   (the A/B recorded in ops/pallas_s2vt.py and README),
  - an MFU estimate for the train step (analytic matmul FLOPs / v5e peak).
 
 Timing discipline (see CLAUDE.md): every measurement runs ``iters``
@@ -25,24 +25,16 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import time
 
 import numpy as np
 
 
 def _enable_compile_cache() -> None:
-    """Persistent XLA compilation cache: compiles through the axon tunnel
-    cost 40-250s each; with the cache a warm bench run spends seconds.
-    Must run before first jax backend use."""
-    import jax
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.expanduser("~/.cache/s2vt_tpu/jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # older jax without the knob: just compile
+    """Persistent XLA compilation cache (shared with the CLIs): compiles
+    through the axon tunnel cost 40-250s each; warm runs spend ~1s/hit."""
+    from s2vt_tpu.utils.compilation import enable_compilation_cache
+    enable_compilation_cache()
 
 VOCAB, FEAT, L, H, E = 10240, 4096, 80, 512, 512
 SOS = 3
@@ -80,11 +72,12 @@ def bench_jax(batch: int, iters: int) -> float:
     return batch * iters / dt
 
 
-def bench_extract(iters: int) -> float:
-    """Feat-extract clips/sec: one vgg16_bn forward per 80-frame clip
-    (the reference loads + forwards one clip at a time,
-    extract_features.py:96-107; preprocessing is host/ffmpeg-side there, so
-    this times the CNN forward, which dominates)."""
+def bench_extract(iters: int, n_clips: int = 1) -> float:
+    """Feat-extract clips/sec: vgg16_bn forward over ``n_clips`` 80-frame
+    clips per dispatch (n_clips=1 is the reference's per-clip hot loop,
+    extract_features.py:96-107; n_clips=4 is the pipeline's clip_batch
+    default; preprocessing is host/ffmpeg-side there, so this times the
+    CNN forward, which dominates)."""
     import jax
     import jax.numpy as jnp
 
@@ -94,7 +87,8 @@ def bench_extract(iters: int) -> float:
                                          compute_dtype=jnp.bfloat16)
     S = spec["input_size"]
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.normal(size=(L, S, S, 3)).astype(np.float32))
+    frames = jnp.asarray(
+        rng.normal(size=(n_clips * L, S, S, 3)).astype(np.float32))
 
     from functools import partial
 
@@ -111,7 +105,7 @@ def bench_extract(iters: int) -> float:
     t0 = time.perf_counter()
     _ = np.asarray(extract_many(params, jnp.float32(1e-5), iters))
     dt = time.perf_counter() - t0
-    return iters / dt
+    return n_clips * iters / dt
 
 
 def bench_train_step(batch: int, use_pallas: bool, iters: int) -> float:
@@ -277,6 +271,8 @@ def main():
     if not args.skip_extract:
         ex = bench_extract(args.extract_iters)
         extra["extract_clips_per_sec"] = round(ex, 2)
+        ex4 = bench_extract(max(args.extract_iters // 4, 2), n_clips=4)
+        extra["extract_clips_per_sec_batch4"] = round(ex4, 2)
         ex_torch = bench_torch_extract(1)
         extra["extract_torch_cpu_clips_per_sec"] = round(ex_torch, 3)
         extra["extract_vs_torch_cpu"] = round(ex / ex_torch, 1)

@@ -54,6 +54,8 @@ def caption_clips(model_path: str, inputs, captions_file: str = None,
 
 
 def main():
+    from s2vt_tpu.utils.compilation import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("inputs", nargs="+",
                     help="video files or frame directories")

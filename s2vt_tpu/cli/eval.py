@@ -11,6 +11,8 @@ import json
 
 
 def main():
+    from s2vt_tpu.utils.compilation import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model_path", required=True,
                     help="checkpoint directory (as written by Trainer.save)")

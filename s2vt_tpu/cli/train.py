@@ -37,6 +37,8 @@ def opt_from_args(args: argparse.Namespace, base: Opt) -> Opt:
 
 
 def main():
+    from s2vt_tpu.utils.compilation import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", type=str, default=None,
                     help="JSON config file (an opt.json written by save_opt)")

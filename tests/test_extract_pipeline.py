@@ -75,6 +75,41 @@ def test_extractor_deterministic(tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+def test_clip_batching_matches_per_clip(tmp_path):
+    """clip_batch groups clips into one forward; features must be
+    identical to the per-clip path, including the partial last group."""
+    src = _make_frame_dirs(tmp_path / "videos", n_clips=5)
+    out_b = tmp_path / "feats_batched"
+    out_1 = tmp_path / "feats_serial"
+    extract(str(src), str(out_b), model="tiny", mode="fix", frames_num=6,
+            clip_batch=2)
+    extract(str(src), str(out_1), model="tiny", mode="fix", frames_num=6,
+            clip_batch=1)
+    for c in range(5):
+        a = np.load(out_b / f"clip{c:02d}.npy")
+        b = np.load(out_1 / f"clip{c:02d}.npy")
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_clip_batching_mixed_resolutions(tmp_path):
+    """Clips with different raw frame sizes fall back to per-clip forwards
+    inside the group instead of failing to stack."""
+    src = tmp_path / "videos"
+    _make_frame_dirs(src, n_clips=1, n_frames=8)
+    rng = np.random.default_rng(1)
+    d = src / "clipBIG"
+    d.mkdir()
+    for f in range(8):
+        arr = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / f"{f:06d}.jpg")
+    out = tmp_path / "feats"
+    n = extract(str(src), str(out), model="tiny", mode="fix", frames_num=4,
+                clip_batch=4)
+    assert n == 2
+    assert np.load(out / "clip00.npy").shape == (4, 8)
+    assert np.load(out / "clipBIG.npy").shape == (4, 8)
+
+
 def test_extract_overwrites(tmp_path):
     src = _make_frame_dirs(tmp_path / "videos")
     out = tmp_path / "feats"

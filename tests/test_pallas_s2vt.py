@@ -45,6 +45,42 @@ def test_fused_gate_is_dtype_aware():
     assert fused_shapes_ok(64, 256, 256, 1, "lstm", None)
 
 
+def test_large_batch_chunk1_path_parity(setup):
+    """B>64 engages 1-step chunks + split backward weights (the extended
+    VMEM envelope); parity vs the scan path must hold through fwd+bwd."""
+    _, _, _, _, tgts_small = setup
+    B_big = 72  # > 64 -> _chunk_for routes to C=1
+    kw = dict(vocab_size=V, feat_dim=F, length=L, dim_hid=H, dim_embed=E,
+              sos_ix=3, eos_ix=4)
+    m_ref, m_fused = S2VT(**kw), S2VT(use_pallas=True, **kw)
+    feats = jax.random.normal(jax.random.PRNGKey(5), (B_big, L, F))
+    tgts = jax.random.randint(jax.random.PRNGKey(6), (B_big, L - 1), 0, V)
+    params = m_ref.init(jax.random.PRNGKey(7), feats, tgts, mode="train",
+                        deterministic=True)
+    from s2vt_tpu.ops.pallas_s2vt import _chunk_for
+    assert _chunk_for(B_big) == 1 and m_fused._fused_ok(B_big)
+
+    want = m_ref.apply(params, feats, tgts, mode="train", deterministic=True)
+    got = m_fused.apply(params, feats, tgts, mode="train", deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+    def loss(model):
+        def fn(p):
+            out = model.apply({"params": p}, feats, tgts, mode="train",
+                              deterministic=True)
+            return jnp.sum(out ** 2) * 1e-3
+        return fn
+
+    g_ref = jax.grad(loss(m_ref))(params["params"])
+    g_fus = jax.grad(loss(m_fused))(params["params"])
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(g_ref),
+                            jax.tree_util.tree_leaves(g_fus)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-3, rtol=2e-3,
+            err_msg=jax.tree_util.keystr(path))
+
+
 def test_fused_bf16_mode_runs(setup):
     """compute_dtype=bfloat16 engages bf16 matmuls/residuals and still
     tracks the scan path to bf16 tolerance."""
