@@ -108,17 +108,25 @@ def bench_extract(iters: int, n_clips: int = 1) -> float:
     return n_clips * iters / dt
 
 
-def bench_train_step(batch: int, use_pallas: bool, iters: int) -> float:
-    """Full S2VT train step (value_and_grad + adam update) ms/step."""
+def bench_train_step(batch: int, use_pallas: bool, iters: int,
+                     arch: str = "s2vt") -> float:
+    """Full train step (value_and_grad + adam update) ms/step for the S2VT
+    flagship or the attention baseline (the model the reference's shipped
+    train.py instantiates, attention_baseline.py / train.py:86)."""
     import jax
     import jax.numpy as jnp
     import optax
 
-    from s2vt_tpu.models.s2vt import S2VT
-
-    model = S2VT(vocab_size=VOCAB, feat_dim=FEAT, length=L, dim_hid=H,
-                 dim_embed=E, sos_ix=SOS, eos_ix=4,
-                 compute_dtype=jnp.bfloat16, use_pallas=use_pallas)
+    if arch == "s2vt":
+        from s2vt_tpu.models.s2vt import S2VT
+        model = S2VT(vocab_size=VOCAB, feat_dim=FEAT, length=L, dim_hid=H,
+                     dim_embed=E, sos_ix=SOS, eos_ix=4,
+                     compute_dtype=jnp.bfloat16, use_pallas=use_pallas)
+    else:
+        from s2vt_tpu.models.attention import AttBaseline
+        model = AttBaseline(vocab_size=VOCAB, dim_feat=FEAT, length=L,
+                            dim_hid=H, dim_embed=E, sos_ix=SOS, eos_ix=4,
+                            compute_dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     feats = jnp.asarray(rng.normal(size=(batch, L, FEAT)).astype(np.float32))
     targets = jnp.asarray(rng.integers(0, VOCAB, size=(batch, L - 1),
@@ -287,6 +295,9 @@ def main():
                      extra["train_step_ms_b64_scan"])
         extra["train_mfu_b64"] = round(
             train_matmul_flops(64) / (best64 * 1e-3) / V5E_BF16_PEAK, 4)
+        extra["train_step_ms_b16_att_baseline"] = round(
+            bench_train_step(16, False, args.train_iters,
+                             arch="att_baseline"), 2)
 
     if args.skip_baseline:
         vs = None

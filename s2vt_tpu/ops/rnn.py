@@ -242,7 +242,8 @@ class TorchRNN(nn.Module):
     rnn_type: str = "lstm"
     dropout: float = 0.0
     compute_dtype: Any = None
-    use_pallas: bool = False  # fused Pallas sequence kernel (LSTM, fwd-only)
+    use_pallas: bool = False  # fused Pallas sequence kernel (LSTM/GRU,
+    #   forward direction only)
 
     def setup(self):
         init_fn = init_lstm_params if self.rnn_type == "lstm" else init_gru_params
@@ -268,13 +269,18 @@ class TorchRNN(nn.Module):
         # chips) and for large batches — see pallas_shapes_ok.
         from s2vt_tpu.ops.pallas_rnn import pallas_shapes_ok
         if (self.use_pallas and pallas_shapes_ok(xs.shape[0], self.hidden_size)
-                and self.rnn_type == "lstm" and not self.bidirectional):
-            from s2vt_tpu.ops.pallas_rnn import lstm_sequence_pallas
+                and self.rnn_type in ("lstm", "gru")
+                and not self.bidirectional):
+            if self.rnn_type == "lstm":
+                from s2vt_tpu.ops.pallas_rnn import \
+                    lstm_sequence_pallas as seq_pallas
+            else:
+                from s2vt_tpu.ops.pallas_gru import \
+                    gru_sequence_pallas as seq_pallas
             out, finals = xs, []
             for li, lp in enumerate(self.layers):
                 init = h0[li] if h0 is not None else None
-                out, fin = lstm_sequence_pallas(out, lp, init,
-                                                self.compute_dtype)
+                out, fin = seq_pallas(out, lp, init, self.compute_dtype)
                 finals.append(fin)
                 if (self.dropout > 0.0 and not deterministic
                         and li < self.num_layers - 1):
