@@ -10,55 +10,97 @@ import argparse
 import json
 
 
+class ClipCaptioner:
+    """Compile-once serving object: checkpoint + vocab + backbone built a
+    single time, then ``caption(paths)`` per request. Decode jits are
+    cached per batch shape, so a long-lived server pays compilation only
+    on the first request of each batch size."""
+
+    def __init__(self, model_path: str, captions_file: str = None,
+                 backbone: str = "vgg16", weights: str = None,
+                 beam: bool = False, compute_dtype: str = None):
+        from s2vt_tpu.config import Opt
+        from s2vt_tpu.data.corpus import load_captions, special_token_indices
+        from s2vt_tpu.evaluation.decode import model_from_checkpoint
+        from s2vt_tpu.extract.pipeline import FeatureExtractor
+        from s2vt_tpu.training.checkpoint import load_config
+
+        cfg = load_config(model_path)
+        base_opt = Opt(**cfg) if cfg else Opt()
+        data = load_captions(captions_file or base_opt.caption_file)
+        self.ix2word = {int(k): v for k, v in data["ix2word"].items()}
+        self.specials = special_token_indices(data["word2ix"])
+        self.opt, self.model, self.params = model_from_checkpoint(
+            model_path, len(data["word2ix"]))
+        self.extractor = FeatureExtractor(backbone, weights, compute_dtype)
+        self.beam = beam
+
+    def caption(self, inputs) -> dict:
+        import numpy as np
+
+        from s2vt_tpu.evaluation.decode import ids_to_sentence
+
+        feats = np.stack([
+            self.extractor.extract_clip(str(p), mode="fix",
+                                        frames_num=self.opt.train_length)
+            for p in inputs])
+        if self.beam:
+            res = self.model.apply(
+                {"params": self.params}, feats, mode="beam_search",
+                beam_width=self.opt.beam_width,
+                max_beam_depth=self.opt.max_beam_depth,
+                beam_score_mode=self.opt.beam_score_mode)
+            rows = np.asarray(res.tokens)[:, 0, 1:]
+        else:
+            rows = np.asarray(self.model.apply(
+                {"params": self.params}, feats, mode="test"))
+        sp = self.specials
+        return {str(p): ids_to_sentence(ids, self.ix2word, sp["eos_ix"],
+                                        sos_ix=sp["sos_ix"],
+                                        pad_ix=sp["pad_ix"])
+                for p, ids in zip(inputs, rows)}
+
+
 def caption_clips(model_path: str, inputs, captions_file: str = None,
                   backbone: str = "vgg16", weights: str = None,
                   beam: bool = False, compute_dtype: str = None) -> dict:
-    import numpy as np
+    return ClipCaptioner(model_path, captions_file, backbone, weights,
+                         beam, compute_dtype).caption(inputs)
 
-    from s2vt_tpu.config import Opt
-    from s2vt_tpu.data.corpus import load_captions, special_token_indices
-    from s2vt_tpu.evaluation.decode import (ids_to_sentence,
-                                            model_from_checkpoint)
-    from s2vt_tpu.extract.pipeline import FeatureExtractor
-    from s2vt_tpu.training.checkpoint import load_config
 
-    cfg = load_config(model_path)
-    base_opt = Opt(**cfg) if cfg else Opt()
-    data = load_captions(captions_file or base_opt.caption_file)
-    word2ix = data["word2ix"]
-    ix2word = {int(k): v for k, v in data["ix2word"].items()}
-    sp = special_token_indices(word2ix)
+def serve(captioner: ClipCaptioner, infile=None, outfile=None) -> int:
+    """Line-oriented serving loop: one clip path (or a whitespace-separated
+    batch of paths) per stdin line -> one JSON object per stdout line.
+    Blank line or EOF ends the session. Returns requests served."""
+    import sys
 
-    opt, model, params = model_from_checkpoint(model_path, len(word2ix))
-
-    extractor = FeatureExtractor(backbone, weights, compute_dtype)
-    feats = np.stack([
-        extractor.extract_clip(str(p), mode="fix",
-                               frames_num=opt.train_length)
-        for p in inputs])
-
-    if beam:
-        res = model.apply({"params": params}, feats, mode="beam_search",
-                          beam_width=opt.beam_width,
-                          max_beam_depth=opt.max_beam_depth,
-                          beam_score_mode=opt.beam_score_mode)
-        rows = np.asarray(res.tokens)[:, 0, 1:]
-    else:
-        rows = np.asarray(model.apply({"params": params}, feats, mode="test"))
-
-    out = {}
-    for p, ids in zip(inputs, rows):
-        out[str(p)] = ids_to_sentence(ids, ix2word, sp["eos_ix"],
-                                      sos_ix=sp["sos_ix"], pad_ix=sp["pad_ix"])
-    return out
+    infile = infile if infile is not None else sys.stdin
+    outfile = outfile if outfile is not None else sys.stdout
+    served = 0
+    for line in infile:
+        paths = line.split()
+        if not paths:
+            break
+        try:
+            result = captioner.caption(paths)
+        except Exception as e:  # a bad clip must not kill the server
+            result = {"error": f"{type(e).__name__}: {e}", "paths": paths}
+        print(json.dumps(result), file=outfile, flush=True)
+        served += 1
+    return served
 
 
 def main():
     from s2vt_tpu.utils.compilation import enable_compilation_cache
     enable_compilation_cache()
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("inputs", nargs="+",
-                    help="video files or frame directories")
+    ap.add_argument("inputs", nargs="*",
+                    help="video files or frame directories (omit with "
+                         "--serve)")
+    ap.add_argument("--serve", action="store_true",
+                    help="long-lived serving loop: clip path(s) per stdin "
+                         "line -> JSON per stdout line; model/backbone are "
+                         "built once and reused across requests")
     ap.add_argument("--model_path", required=True)
     ap.add_argument("--caption_file", default=None,
                     help="captions.json for the vocab (default: the one "
@@ -72,6 +114,15 @@ def main():
     ap.add_argument("--compute_dtype", default=None, choices=[None, "bfloat16"])
     args = ap.parse_args()
 
+    if args.serve:
+        captioner = ClipCaptioner(args.model_path, args.caption_file,
+                                  args.backbone, args.weights, args.beam,
+                                  args.compute_dtype)
+        n = serve(captioner)
+        print(f"served {n} request(s)", flush=True)
+        return
+    if not args.inputs:
+        ap.error("provide clip paths, or use --serve")
     captions = caption_clips(args.model_path, args.inputs, args.caption_file,
                              args.backbone, args.weights, args.beam,
                              args.compute_dtype)

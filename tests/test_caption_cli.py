@@ -50,3 +50,19 @@ def test_caption_clips_end_to_end(tmp_path):
     out_beam = caption_clips(ckpt, [clip], corpus["captions_file"],
                              backbone="tiny", beam=True)
     assert isinstance(out_beam[str(clip)], str)
+
+    # --serve loop: one request line -> one JSON line; bad paths answered
+    # with an error object instead of killing the server; blank line ends.
+    import io
+    import json
+
+    from s2vt_tpu.cli.caption import ClipCaptioner, serve
+    captioner = ClipCaptioner(ckpt, corpus["captions_file"], backbone="tiny")
+    stdin = io.StringIO(f"{clip}\n{clip} {clip}\n/no/such/clip\n\n")
+    stdout = io.StringIO()
+    served = serve(captioner, infile=stdin, outfile=stdout)
+    assert served == 3
+    lines = [json.loads(l) for l in stdout.getvalue().splitlines()]
+    assert lines[0][str(clip)] == out[str(clip)]  # same answer as one-shot
+    assert len(lines[1]) == 1  # duplicate paths collapse to one key
+    assert "error" in lines[2]
