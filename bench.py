@@ -72,6 +72,45 @@ def bench_jax(batch: int, iters: int) -> float:
     return batch * iters / dt
 
 
+def bench_jax_early_stop_bound(batch: int, iters: int) -> float:
+    """Serving upper bound with early_stop=True: out_linear bias forced so
+    every row emits <eos> at step 1, so this measures the encode phase +
+    one decode step — the ceiling real captions (~10 words of 79 steps)
+    approach. The default-path number above never early-exits (reference
+    semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from s2vt_tpu.models.s2vt import S2VT
+
+    model = S2VT(vocab_size=VOCAB, feat_dim=FEAT, length=L, dim_hid=H,
+                 dim_embed=E, sos_ix=SOS, eos_ix=4,
+                 compute_dtype=jnp.bfloat16, use_pallas=True)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(batch, L, FEAT)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), feats, mode="test")["params"]
+    bias = np.array(params["out_linear"]["bias"], np.float32, copy=True)
+    bias[4] = bias.max() + 2.5
+    params["out_linear"]["bias"] = jnp.asarray(bias)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=3)
+    def decode_many(params, feats, salt0, n):
+        def body(salt, _):
+            toks = model.apply({"params": params}, feats + salt, mode="test",
+                               early_stop=True)
+            return jnp.sum(toks).astype(jnp.float32) * 1e-9, jnp.sum(toks)
+        _, sums = jax.lax.scan(body, salt0, None, length=n)
+        return sums
+
+    _ = np.asarray(decode_many(params, feats, jnp.float32(0.0), iters))
+    t0 = time.perf_counter()
+    _ = np.asarray(decode_many(params, feats, jnp.float32(1e-5), iters))
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
 def bench_extract(iters: int, n_clips: int = 1) -> float:
     """Feat-extract clips/sec: vgg16_bn forward over ``n_clips`` 80-frame
     clips per dispatch (n_clips=1 is the reference's per-clip hot loop,
@@ -275,6 +314,8 @@ def main():
 
     ours = bench_jax(args.batch, args.iters)
     extra["decode_batch"] = args.batch
+    extra["decode_early_stop_bound_clips_per_sec"] = round(
+        bench_jax_early_stop_bound(args.batch, args.iters), 2)
 
     if not args.skip_extract:
         ex = bench_extract(args.extract_iters)

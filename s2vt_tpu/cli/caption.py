@@ -18,7 +18,8 @@ class ClipCaptioner:
 
     def __init__(self, model_path: str, captions_file: str = None,
                  backbone: str = "vgg16", weights: str = None,
-                 beam: bool = False, compute_dtype: str = None):
+                 beam: bool = False, compute_dtype: str = None,
+                 early_stop: bool = False):
         from s2vt_tpu.config import Opt
         from s2vt_tpu.data.corpus import load_captions, special_token_indices
         from s2vt_tpu.evaluation.decode import model_from_checkpoint
@@ -34,6 +35,7 @@ class ClipCaptioner:
             model_path, len(data["word2ix"]))
         self.extractor = FeatureExtractor(backbone, weights, compute_dtype)
         self.beam = beam
+        self.early_stop = early_stop
 
     def caption(self, inputs) -> dict:
         import numpy as np
@@ -53,7 +55,8 @@ class ClipCaptioner:
             rows = np.asarray(res.tokens)[:, 0, 1:]
         else:
             rows = np.asarray(self.model.apply(
-                {"params": self.params}, feats, mode="test"))
+                {"params": self.params}, feats, mode="test",
+                early_stop=self.early_stop))
         sp = self.specials
         return {str(p): ids_to_sentence(ids, self.ix2word, sp["eos_ix"],
                                         sos_ix=sp["sos_ix"],
@@ -111,13 +114,16 @@ def main():
     ap.add_argument("--weights", default=None,
                     help="pretrained backbone .pth (imagenet)")
     ap.add_argument("--beam", action="store_true")
+    ap.add_argument("--early_stop", action="store_true",
+                    help="greedy decode exits once every clip has emitted "
+                         "<eos> (serving speedup; sentences unchanged)")
     ap.add_argument("--compute_dtype", default=None, choices=[None, "bfloat16"])
     args = ap.parse_args()
 
     if args.serve:
         captioner = ClipCaptioner(args.model_path, args.caption_file,
                                   args.backbone, args.weights, args.beam,
-                                  args.compute_dtype)
+                                  args.compute_dtype, args.early_stop)
         n = serve(captioner)
         print(f"served {n} request(s)", flush=True)
         return

@@ -102,11 +102,13 @@ class S2VT(nn.Module):
     def __call__(self, feats, targets=None, mode: str = "train",
                  beam_width: int = 3, max_beam_depth: int = 30,
                  deterministic: Optional[bool] = None,
-                 beam_score_mode: str = "cumulative"):
+                 beam_score_mode: str = "cumulative",
+                 early_stop: bool = False):
         """Dispatch like the reference forward (S2VTModel.py:39-61).
 
         mode='train' -> logits [B, L-1, V] (teacher forcing)
-        mode='test'  -> greedy token ids [B, L-1]
+        mode='test'  -> greedy token ids [B, L-1]; early_stop=True exits
+            when every row has emitted <eos> (serving extension)
         mode='beam_search' -> (tokens [B, W, D+1], lengths [B, W], scores [B, W])
         """
         if deterministic is None:
@@ -114,7 +116,7 @@ class S2VT(nn.Module):
         if mode == "train":
             return self.teacher_forced(feats, targets, deterministic)
         if mode == "test":
-            return self.greedy(feats)
+            return self.greedy(feats, early_stop=early_stop)
         if mode == "beam_search":
             return self.beam(feats, beam_width, max_beam_depth,
                              score_mode=beam_score_mode)
@@ -189,13 +191,21 @@ class S2VT(nn.Module):
         result = dropout(result, self.out_dropout, rng, deterministic)
         return self.out_linear(result)
 
-    def greedy(self, feats):
+    def greedy(self, feats, early_stop: bool = False):
         """Greedy decode as a fixed-shape on-device scan (vs S2VTModel.py:82-110).
 
         Encoding stage: word_rnn over [zeros; output1[:, :L]] yields state2.
         Decoding stage: scan over L-1 steps; step t consumes output1[:, L+t]
         and the embedding of the previous argmax (sos at t=0).
         Returns token ids [B, L-1] (int32).
+
+        ``early_stop=True`` (a serving extension, OFF by default) swaps the
+        scan for a fixed-shape ``while_loop`` that exits once every row has
+        emitted ``<eos>``; remaining positions are filled with ``<eos>``.
+        The reference (and the default here) always decodes all L-1 steps
+        and its eval cuts each sentence at the first <eos> (eval.py:54-58),
+        so the SENTENCES are identical — only post-<eos> filler differs,
+        and typical captions finish in ~10 of 79 steps.
         """
         B = feats.shape[0]
         feats = self._project_feats(feats, True)
@@ -225,17 +235,41 @@ class S2VT(nn.Module):
         vid_tail = jnp.swapaxes(output1[:, self.length:, :], 0, 1)  # [L-1, B, H]
         sos = jnp.full((B,), self.sos_ix, jnp.int32)
 
-        def step(carry, vid_out_t):
-            states, word = carry
+        def decode_one(states, word, vid_out_t):
             emb = jnp.take(emb_table, word, axis=0)               # [B, E]
             x = jnp.concatenate([emb, vid_out_t], axis=-1)        # [B, E+H]
             states, h = multilayer_step(states, x, word_layers, rnn_type, cdt)
             logits = apply_linear(h, out_w, out_b, cdt)           # [B, V]
             logits = mask_invalid_vocab(logits, self.valid_vocab)
-            word = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return (states, word), word
+            return states, jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-        _, tokens = jax.lax.scan(step, (states2, sos), vid_tail)
+        n_steps = self.length - 1
+        if not early_stop:
+            def step(carry, vid_out_t):
+                states, word = carry
+                states, word = decode_one(states, word, vid_out_t)
+                return (states, word), word
+
+            _, tokens = jax.lax.scan(step, (states2, sos), vid_tail)
+            return jnp.swapaxes(tokens, 0, 1)                      # [B, L-1]
+
+        eos = jnp.int32(self.eos_ix)
+        tokens0 = jnp.full((n_steps, B), eos, jnp.int32)
+        done0 = jnp.zeros((B,), bool)
+
+        def cond(state):
+            t, _, _, done, _ = state
+            return jnp.logical_and(t < n_steps, ~jnp.all(done))
+
+        def body(state):
+            t, states, word, done, tokens = state
+            states, word = decode_one(states, word, vid_tail[t])
+            tokens = tokens.at[t].set(jnp.where(done, eos, word))
+            done = jnp.logical_or(done, word == eos)
+            return t + 1, states, word, done, tokens
+
+        _, _, _, _, tokens = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), states2, sos, done0, tokens0))
         return jnp.swapaxes(tokens, 0, 1)                          # [B, L-1]
 
     def encode_for_beam(self, feats):

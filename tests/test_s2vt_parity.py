@@ -130,3 +130,28 @@ def test_beam_scores_sorted_and_finite(torch_modules, model):
     toks = np.asarray(res.tokens)
     assert toks.shape == (B, 3, 13)
     assert (toks[:, :, 0] == 3).all(), "history starts at <sos>"
+
+
+def test_greedy_early_stop_sentences_match(torch_modules, model):
+    """early_stop=True (serving extension): identical tokens up to and
+    including each row's first <eos>, <eos> filler after, and rows that
+    never emit <eos> decode identically to the full scan."""
+    torch.manual_seed(7)
+    feats = jnp.asarray(torch.randn(B, L, F).numpy())
+    params = {"params": flax_params(torch_modules)}
+    full = np.asarray(model.apply(params, feats, mode="test"))
+    # pick an observed token as <eos> so the early exit actually fires
+    eos = int(full[0, 2])
+    m2 = S2VT(vocab_size=V, feat_dim=F, length=L, dim_hid=H, dim_embed=E,
+              sos_ix=3, eos_ix=eos)
+    full2 = np.asarray(m2.apply(params, feats, mode="test"))
+    early = np.asarray(m2.apply(params, feats, mode="test", early_stop=True))
+    np.testing.assert_array_equal(full2, full)  # eos_ix doesn't alter greedy
+    fired = False
+    for r in range(B):
+        hits = np.where(full2[r] == eos)[0]
+        cut = hits[0] + 1 if len(hits) else full2.shape[1]
+        np.testing.assert_array_equal(early[r, :cut], full2[r, :cut])
+        assert (early[r, cut:] == eos).all()
+        fired = fired or len(hits) > 0
+    assert fired, "fixture never emitted eos; test is vacuous"
