@@ -45,14 +45,25 @@ def ids_to_sentence(ids, ix2word: Dict[int, str], eos_ix: int,
 
 
 class CaptionDecoder:
-    """Jitted batch decoding over a ``VideoDataset`` split."""
+    """Jitted batch decoding over a ``VideoDataset`` split.
+
+    Pass a ``jax.sharding.Mesh`` to decode data-parallel: params get their
+    mesh placement (vocab-dim TP included) and each batch's leading dim is
+    sharded over the 'data' axis — serving throughput scales with chips.
+    Batch size must divide by the data-axis size.
+    """
 
     def __init__(self, model, params, dataset: VideoDataset,
                  beam_width: int = 3, max_beam_depth: int = 30,
-                 beam_score_mode: str = "cumulative"):
+                 beam_score_mode: str = "cumulative", mesh=None):
         self.model = model
-        self.params = params
         self.dataset = dataset
+        self.mesh = mesh
+        if mesh is not None and params is not None:
+            from s2vt_tpu.parallel import mesh as mesh_lib
+            params = jax.device_put(params,
+                                    mesh_lib.param_shardings(mesh, params))
+        self.params = params
         sp = dataset.specials
         self.eos_ix, self.sos_ix = sp["eos_ix"], sp["sos_ix"]
         self.pad_ix = sp["pad_ix"]
@@ -64,10 +75,16 @@ class CaptionDecoder:
             {"params": p}, f, mode="beam_search", beam_width=beam_width,
             max_beam_depth=max_beam_depth, beam_score_mode=beam_score_mode))
 
+    def _put(self, feats):
+        if self.mesh is None:
+            return feats
+        from s2vt_tpu.parallel import mesh as mesh_lib
+        return jax.device_put(feats, mesh_lib.batch_sharding(self.mesh))
+
     def _run(self, batch_size: int, decode_fn: Callable) -> Dict[str, str]:
         preds: Dict[str, str] = {}
         for batch in self.dataset.batches(batch_size, shuffle=False):
-            out = decode_fn(self.params, batch.feats)
+            out = decode_fn(self.params, self._put(batch.feats))
             for row, vid in enumerate(batch.ids):
                 if batch.valid[row] == 0.0 or not vid:
                     continue
@@ -125,12 +142,17 @@ def _decoder_from_checkpoint(checkpoint_path: str, captions_file: str,
                       feats_path or opt.feats_path,
                       max_len=opt.train_length, mode=mode, seed=opt.seed)
     opt, model, params = model_from_checkpoint(checkpoint_path, ds.vocab_size)
+    mesh = None
+    if tuple(opt.mesh_shape) != (1, 1):
+        from s2vt_tpu.parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh(tuple(opt.mesh_shape))
     return CaptionDecoder(model, params, ds,
                           beam_width=kw.get("beam_width", opt.beam_width),
                           max_beam_depth=kw.get("max_beam_depth",
                                                 opt.max_beam_depth),
                           beam_score_mode=kw.get("beam_score_mode",
-                                                 opt.beam_score_mode))
+                                                 opt.beam_score_mode),
+                          mesh=mesh)
 
 
 def greedy_eval(checkpoint_path: str, captions_file: str = None,

@@ -92,3 +92,21 @@ def test_scoring_perfect_predictions(trained):
     scores = score_predictions(preds, gts, verbose=False)
     assert scores["Bleu_1"] == pytest.approx(1.0, abs=1e-6)
     assert scores["ROUGE_L"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_mesh_decoding_matches_single_device(trained):
+    """CaptionDecoder over an 8-device dp mesh produces identical captions
+    to single-device decoding (the multi-chip serving path)."""
+    from s2vt_tpu.data.dataset import VideoDataset
+    from s2vt_tpu.evaluation.decode import CaptionDecoder, model_from_checkpoint
+    from s2vt_tpu.parallel import make_mesh
+
+    corpus, path = trained
+    ds = VideoDataset(corpus["captions_file"], corpus["feat_path"],
+                      max_len=10, mode="test", seed=0)
+    opt, model, params = model_from_checkpoint(path, ds.vocab_size)
+
+    single = CaptionDecoder(model, params, ds).greedy(batch_size=8)
+    mesh = make_mesh()  # all 8 CPU devices on the data axis
+    sharded = CaptionDecoder(model, params, ds, mesh=mesh).greedy(batch_size=8)
+    assert sharded == single and len(single) > 0
