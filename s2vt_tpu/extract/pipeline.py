@@ -31,10 +31,16 @@ from s2vt_tpu.extract.preprocess import (fix_sample_indices,
 
 
 class FeatureExtractor:
-    """One-time-built backbone + jitted frame->feature function."""
+    """One-time-built backbone + jitted frame->feature function.
+
+    Pass a ``jax.sharding.Mesh`` to extract data-parallel: backbone params
+    replicate and the frame batch's leading dim shards over the 'data'
+    axis — conv forwards are embarrassingly parallel over frames, so
+    throughput scales with chips (frame count must divide the axis).
+    """
 
     def __init__(self, model_name: str = "vgg16", weights: Optional[str] = None,
-                 compute_dtype=None, bucket: int = 16):
+                 compute_dtype=None, bucket: int = 16, mesh=None):
         self.model_name = model_name
         cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else compute_dtype
         self.model, self.params, self.spec = build_backbone(model_name, cdt)
@@ -43,6 +49,11 @@ class FeatureExtractor:
             loaded = load_torch_checkpoint(weights)
             self.params = _merge_check(self.params, loaded, model_name)
         self.bucket = bucket
+        self.mesh = mesh
+        if mesh is not None:
+            from s2vt_tpu.parallel import mesh as mesh_lib
+            self.params = jax.device_put(
+                self.params, mesh_lib.replicate_sharding(mesh))
         mean = jnp.asarray(self.spec["mean"])
         std = jnp.asarray(self.spec["std"])
         size = self.spec["input_size"]
@@ -54,11 +65,17 @@ class FeatureExtractor:
 
         self._forward = forward
 
+    def _put(self, frames: np.ndarray):
+        if self.mesh is None:
+            return jnp.asarray(frames)
+        from s2vt_tpu.parallel import mesh as mesh_lib
+        return jax.device_put(frames, mesh_lib.batch_sharding(self.mesh))
+
     def __call__(self, frames: np.ndarray,
                  valid_count: Optional[int] = None) -> np.ndarray:
         """uint8 frames [T, H, W, 3] -> features [T, feat_dim] (or
         [valid_count, feat_dim] when the batch was padded)."""
-        feats = np.asarray(self._forward(self.params, jnp.asarray(frames)))
+        feats = np.asarray(self._forward(self.params, self._put(frames)))
         return feats if valid_count is None else feats[:valid_count]
 
     def extract_clip(self, clip_path: str, mode: str = "fix",

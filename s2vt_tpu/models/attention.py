@@ -48,11 +48,13 @@ class AttBaseline(nn.Module):
     eos_ix: int = 4
     att_mode: str = "softmax"  # 'softmax' (intended) | 'reference_sum' (bug-compatible)
     compute_dtype: Any = None
+    use_pallas: bool = False   # fused kernels for the bi-LSTM encoder
     valid_vocab: Optional[int] = None  # mask vocab-padding rows at decode
 
     def setup(self):
         self.encoder = TorchRNN(hidden_size=self.dim_hid, input_size=self.dim_hid,
                                 bidirectional=True, compute_dtype=self.compute_dtype,
+                                use_pallas=self.use_pallas,
                                 name="encoder")
         self.decoder = TorchRNN(hidden_size=self.dim_hid,
                                 input_size=self.dim_hid * 2 + self.dim_embed,

@@ -269,19 +269,36 @@ class TorchRNN(nn.Module):
         # chips) and for large batches — see pallas_shapes_ok.
         from s2vt_tpu.ops.pallas_rnn import pallas_shapes_ok
         if (self.use_pallas and pallas_shapes_ok(xs.shape[0], self.hidden_size)
-                and self.rnn_type in ("lstm", "gru")
-                and not self.bidirectional):
+                and self.rnn_type in ("lstm", "gru")):
             if self.rnn_type == "lstm":
                 from s2vt_tpu.ops.pallas_rnn import \
                     lstm_sequence_pallas as seq_pallas
             else:
                 from s2vt_tpu.ops.pallas_gru import \
                     gru_sequence_pallas as seq_pallas
+
+            def run_reverse(x, lp, init):
+                # The kernel is forward-only; reverse direction = flip the
+                # time axis around it (identical math to scan reverse=True).
+                o, fin = seq_pallas(jnp.flip(x, axis=1), lp, init,
+                                    self.compute_dtype)
+                return jnp.flip(o, axis=1), fin
+
             out, finals = xs, []
             for li, lp in enumerate(self.layers):
                 init = h0[li] if h0 is not None else None
-                out, fin = seq_pallas(out, lp, init, self.compute_dtype)
-                finals.append(fin)
+                if self.bidirectional:
+                    fwd_p, bwd_p = lp
+                    init_f, init_b = (init if init is not None
+                                      else (None, None))
+                    out_f, fin_f = seq_pallas(out, fwd_p, init_f,
+                                              self.compute_dtype)
+                    out_b, fin_b = run_reverse(out, bwd_p, init_b)
+                    out = jnp.concatenate([out_f, out_b], axis=-1)
+                    finals.append((fin_f, fin_b))
+                else:
+                    out, fin = seq_pallas(out, lp, init, self.compute_dtype)
+                    finals.append(fin)
                 if (self.dropout > 0.0 and not deterministic
                         and li < self.num_layers - 1):
                     rng, sub = jax.random.split(rng)

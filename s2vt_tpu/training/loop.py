@@ -74,6 +74,7 @@ def build_model(opt: Opt, vocab_size: int, valid_vocab: Optional[int] = None):
                            dim_embed=opt.dim_embed, feat_dropout=opt.feat_dropout,
                            out_dropout=opt.out_dropout, sos_ix=opt.sos_ix,
                            eos_ix=opt.eos_ix, compute_dtype=cdt,
+                           use_pallas=opt.use_pallas,
                            valid_vocab=valid_vocab)
     raise ValueError(f"unknown model {opt.model!r}")
 

@@ -117,3 +117,15 @@ def test_extract_overwrites(tmp_path):
     (out / "stale.npy").write_bytes(b"x")
     extract(str(src), str(out), model="tiny", mode="fix", frames_num=4)
     assert not (out / "stale.npy").exists()
+
+
+def test_mesh_extraction_matches_single_device(tmp_path):
+    """FeatureExtractor over an 8-device dp mesh: identical features to
+    single-device extraction (frames shard over the data axis)."""
+    from s2vt_tpu.parallel import make_mesh
+
+    src = _make_frame_dirs(tmp_path / "videos", n_clips=1, n_frames=16)
+    frames = read_frame_dir(src / "clip00")  # 16 frames / 8 devices
+    single = FeatureExtractor("tiny")(frames)
+    sharded = FeatureExtractor("tiny", mesh=make_mesh())(frames)
+    np.testing.assert_allclose(sharded, single, atol=1e-6)

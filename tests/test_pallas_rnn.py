@@ -89,3 +89,43 @@ def test_s2vt_use_pallas_parity():
     ref_g = m_ref.apply(params, feats, mode="test")
     pal_g = m_pal.apply(params, feats, mode="test")
     np.testing.assert_array_equal(np.asarray(pal_g), np.asarray(ref_g))
+
+
+def test_bidirectional_pallas_parity():
+    """Bidirectional routing: reverse direction = flip around the fwd-only
+    kernel; outputs + finals match the scan path (the attention baseline's
+    encoder config)."""
+    from s2vt_tpu.ops.rnn import TorchRNN
+
+    B2, T2, H2 = 8, 5, 128
+    xs = jax.random.normal(jax.random.PRNGKey(3), (B2, T2, H2))
+    m_ref = TorchRNN(hidden_size=H2, input_size=H2, bidirectional=True)
+    m_pal = TorchRNN(hidden_size=H2, input_size=H2, bidirectional=True,
+                     use_pallas=True)
+    params = m_ref.init(jax.random.PRNGKey(4), xs)
+    ref_out, ref_fin = m_ref.apply(params, xs)
+    pal_out, pal_fin = m_pal.apply(params, xs)
+    np.testing.assert_allclose(np.asarray(pal_out), np.asarray(ref_out),
+                               atol=1e-5)
+    for (rf, rb), (pf, pb) in zip(ref_fin, pal_fin):
+        np.testing.assert_allclose(np.asarray(pf.h), np.asarray(rf.h), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(pb.h), np.asarray(rb.h), atol=1e-5)
+
+
+def test_att_baseline_use_pallas_parity():
+    """AttBaseline(use_pallas=True): identical logits + greedy tokens."""
+    from s2vt_tpu.models.attention import AttBaseline
+
+    kw = dict(vocab_size=24, dim_feat=12, length=6, dim_hid=128,
+              dim_embed=128, sos_ix=3, eos_ix=4)
+    m_ref, m_pal = AttBaseline(**kw), AttBaseline(use_pallas=True, **kw)
+    feats = jax.random.normal(jax.random.PRNGKey(0), (8, 6, 12))
+    tgts = jax.random.randint(jax.random.PRNGKey(1), (8, 5), 0, 24)
+    params = m_ref.init(jax.random.PRNGKey(2), feats, tgts, mode="train",
+                        deterministic=True)
+    ref = m_ref.apply(params, feats, tgts, mode="train", deterministic=True)
+    pal = m_pal.apply(params, feats, tgts, mode="train", deterministic=True)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(m_pal.apply(params, feats, mode="test")),
+        np.asarray(m_ref.apply(params, feats, mode="test")))
