@@ -51,8 +51,10 @@ def bench_jax(batch: int, iters: int) -> float:
     model = S2VT(vocab_size=VOCAB, feat_dim=FEAT, length=L, dim_hid=H,
                  dim_embed=E, sos_ix=SOS, eos_ix=4,
                  compute_dtype=jnp.bfloat16, use_pallas=True)
-    rng = np.random.default_rng(0)
-    feats = jnp.asarray(rng.normal(size=(batch, L, FEAT)).astype(np.float32))
+    # inputs are generated ON DEVICE: a [B, 80, 4096] f32 host array is
+    # ~1.3GB at B=1024 and would dominate the run as tunnel H2D traffic
+    feats = jax.jit(lambda k: jax.random.normal(k, (batch, L, FEAT)))(
+        jax.random.PRNGKey(1))
     params = model.init(jax.random.PRNGKey(0), feats, mode="test")["params"]
 
     from functools import partial
@@ -86,12 +88,11 @@ def bench_jax_early_stop_bound(batch: int, iters: int) -> float:
     model = S2VT(vocab_size=VOCAB, feat_dim=FEAT, length=L, dim_hid=H,
                  dim_embed=E, sos_ix=SOS, eos_ix=4,
                  compute_dtype=jnp.bfloat16, use_pallas=True)
-    rng = np.random.default_rng(0)
-    feats = jnp.asarray(rng.normal(size=(batch, L, FEAT)).astype(np.float32))
+    feats = jax.jit(lambda k: jax.random.normal(k, (batch, L, FEAT)))(
+        jax.random.PRNGKey(1))
     params = model.init(jax.random.PRNGKey(0), feats, mode="test")["params"]
-    bias = np.array(params["out_linear"]["bias"], np.float32, copy=True)
-    bias[4] = bias.max() + 2.5
-    params["out_linear"]["bias"] = jnp.asarray(bias)
+    b = params["out_linear"]["bias"]
+    params["out_linear"]["bias"] = b.at[4].set(jnp.max(b) + 2.5)
 
     from functools import partial
 
@@ -125,14 +126,16 @@ def bench_extract(iters: int, n_clips: int = 1) -> float:
     model, params, spec = build_backbone("vgg16_bn",
                                          compute_dtype=jnp.bfloat16)
     S = spec["input_size"]
-    rng = np.random.default_rng(0)
-    frames = jnp.asarray(
-        rng.normal(size=(n_clips * L, S, S, 3)).astype(np.float32))
+    frames = jax.jit(lambda k: jax.random.normal(k, (n_clips * L, S, S, 3)))(
+        jax.random.PRNGKey(1))
 
     from functools import partial
 
-    @partial(jax.jit, static_argnums=2)
-    def extract_many(params, salt0, n):
+    # frames passed as an ARG, not a closure: closed-over arrays embed
+    # as HLO constants, so every new random value would miss the
+    # persistent compilation cache
+    @partial(jax.jit, static_argnums=3)
+    def extract_many(params, frames, salt0, n):
         def body(salt, _):
             feats = model.apply({"params": params}, frames + salt)
             s = jnp.sum(feats).astype(jnp.float32)
@@ -140,9 +143,9 @@ def bench_extract(iters: int, n_clips: int = 1) -> float:
         _, sums = jax.lax.scan(body, salt0, None, length=n)
         return sums
 
-    _ = np.asarray(extract_many(params, jnp.float32(0.0), iters))  # compile
+    _ = np.asarray(extract_many(params, frames, jnp.float32(0.0), iters))
     t0 = time.perf_counter()
-    _ = np.asarray(extract_many(params, jnp.float32(1e-5), iters))
+    _ = np.asarray(extract_many(params, frames, jnp.float32(1e-5), iters))
     dt = time.perf_counter() - t0
     return n_clips * iters / dt
 
@@ -166,16 +169,16 @@ def bench_train_step(batch: int, use_pallas: bool, iters: int,
         model = AttBaseline(vocab_size=VOCAB, dim_feat=FEAT, length=L,
                             dim_hid=H, dim_embed=E, sos_ix=SOS, eos_ix=4,
                             compute_dtype=jnp.bfloat16)
-    rng = np.random.default_rng(0)
-    feats = jnp.asarray(rng.normal(size=(batch, L, FEAT)).astype(np.float32))
-    targets = jnp.asarray(rng.integers(0, VOCAB, size=(batch, L - 1),
-                                       dtype=np.int32))
+    feats = jax.jit(lambda k: jax.random.normal(k, (batch, L, FEAT)))(
+        jax.random.PRNGKey(1))
+    targets = jax.jit(lambda k: jax.random.randint(
+        k, (batch, L - 1), 0, VOCAB, jnp.int32))(jax.random.PRNGKey(2))
     params = model.init(jax.random.PRNGKey(0), feats, targets, mode="train",
                         deterministic=True)["params"]
     tx = optax.adam(1e-4)
     opt_state = tx.init(params)
 
-    def loss_fn(p, f):
+    def loss_fn(p, f, targets):
         logits = model.apply({"params": p}, f, targets, mode="train",
                              deterministic=True)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -184,11 +187,13 @@ def bench_train_step(batch: int, use_pallas: bool, iters: int,
 
     from functools import partial
 
-    @partial(jax.jit, static_argnums=3)
-    def steps(params, opt_state, salt0, n):
+    # feats/targets as ARGS (not closures) for stable compile-cache keys
+    @partial(jax.jit, static_argnums=5)
+    def steps(params, opt_state, feats, targets, salt0, n):
         def body(carry, _):
             p, s, salt = carry
-            loss, grads = jax.value_and_grad(loss_fn)(p, feats + salt)
+            loss, grads = jax.value_and_grad(loss_fn)(p, feats + salt,
+                                                      targets)
             updates, s = tx.update(grads, s, p)
             p = optax.apply_updates(p, updates)
             return (p, s, loss * 1e-9), loss
@@ -196,9 +201,11 @@ def bench_train_step(batch: int, use_pallas: bool, iters: int,
                                          None, length=n)
         return losses
 
-    _ = np.asarray(steps(params, opt_state, jnp.float32(0.0), iters))  # compile
+    _ = np.asarray(steps(params, opt_state, feats, targets,
+                         jnp.float32(0.0), iters))  # compile
     t0 = time.perf_counter()
-    _ = np.asarray(steps(params, opt_state, jnp.float32(1e-5), iters))
+    _ = np.asarray(steps(params, opt_state, feats, targets,
+                         jnp.float32(1e-5), iters))
     dt = time.perf_counter() - t0
     return dt / iters * 1e3
 
@@ -293,6 +300,21 @@ def bench_torch_extract(iters: int) -> float:
     return iters / (dt * L / n_frames)
 
 
+def _stage(name):
+    """Context manager printing per-stage wall time to stderr (stdout is
+    reserved for the one-JSON-line contract)."""
+    import contextlib
+    import sys
+
+    @contextlib.contextmanager
+    def cm():
+        t0 = time.perf_counter()
+        yield
+        print(f"[bench] {name}: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr, flush=True)
+    return cm()
+
+
 def main():
     _enable_compile_cache()
     ap = argparse.ArgumentParser()
@@ -312,39 +334,48 @@ def main():
 
     extra = {}
 
-    ours = bench_jax(args.batch, args.iters)
+    with _stage("decode"):
+        ours = bench_jax(args.batch, args.iters)
     extra["decode_batch"] = args.batch
-    extra["decode_early_stop_bound_clips_per_sec"] = round(
-        bench_jax_early_stop_bound(args.batch, args.iters), 2)
+    with _stage("decode early-stop bound"):
+        extra["decode_early_stop_bound_clips_per_sec"] = round(
+            bench_jax_early_stop_bound(args.batch, args.iters), 2)
 
     if not args.skip_extract:
-        ex = bench_extract(args.extract_iters)
+        with _stage("extract"):
+            ex = bench_extract(args.extract_iters)
         extra["extract_clips_per_sec"] = round(ex, 2)
-        ex4 = bench_extract(max(args.extract_iters // 4, 2), n_clips=4)
+        with _stage("extract batch4"):
+            ex4 = bench_extract(max(args.extract_iters // 4, 2), n_clips=4)
         extra["extract_clips_per_sec_batch4"] = round(ex4, 2)
-        ex_torch = bench_torch_extract(1)
+        with _stage("extract torch-cpu baseline"):
+            ex_torch = bench_torch_extract(1)
         extra["extract_torch_cpu_clips_per_sec"] = round(ex_torch, 3)
         extra["extract_vs_torch_cpu"] = round(ex / ex_torch, 1)
 
     if not args.skip_train:
         for b in (16, 64):
-            on = bench_train_step(b, True, args.train_iters)
-            off = bench_train_step(b, False, args.train_iters)
+            with _stage(f"train b{b} pallas"):
+                on = bench_train_step(b, True, args.train_iters)
+            with _stage(f"train b{b} scan"):
+                off = bench_train_step(b, False, args.train_iters)
             extra[f"train_step_ms_b{b}_pallas"] = round(on, 2)
             extra[f"train_step_ms_b{b}_scan"] = round(off, 2)
         best64 = min(extra["train_step_ms_b64_pallas"],
                      extra["train_step_ms_b64_scan"])
         extra["train_mfu_b64"] = round(
             train_matmul_flops(64) / (best64 * 1e-3) / V5E_BF16_PEAK, 4)
-        extra["train_step_ms_b16_att_baseline"] = round(
-            bench_train_step(16, False, args.train_iters,
-                             arch="att_baseline"), 2)
+        with _stage("train att_baseline"):
+            extra["train_step_ms_b16_att_baseline"] = round(
+                bench_train_step(16, False, args.train_iters,
+                                 arch="att_baseline"), 2)
 
     if args.skip_baseline:
         vs = None
     else:
-        baseline = bench_torch_reference(args.baseline_batch,
-                                         args.baseline_iters)
+        with _stage("decode torch-cpu baseline"):
+            baseline = bench_torch_reference(args.baseline_batch,
+                                             args.baseline_iters)
         extra["decode_torch_cpu_clips_per_sec"] = round(baseline, 2)
         vs = ours / baseline
     extra["baseline_note"] = ("torch-CPU reference (no GPU on this host); "
