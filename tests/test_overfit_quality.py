@@ -74,6 +74,19 @@ def test_overfit_then_score(tmp_path):
     assert scores["Bleu_1"] > 0.95, scores
     assert scores["ROUGE_L"] > 0.95, scores
     assert scores["CIDEr"] > 5.0, scores
+    # METEOR is the north-star metric (BASELINE.md): a memorized corpus
+    # must sit at the identical-sentence ceiling 1 - gamma*(1/m)^beta,
+    # which for this corpus's 3-5 word captions is ~0.54 (m=4 ->
+    # 1 - 0.6*(1/4)^0.2 = 0.545); observed 0.5453.
+    assert scores["METEOR"] > 0.52, scores
+
+    # Beam decode (the reference's second eval mode) recovers the same
+    # memorized sentences at the same quality.
+    from s2vt_tpu.evaluation import beam_eval
+    preds_beam = beam_eval(path, opt.caption_file, opt.feats_path,
+                           batch_size=8, mode="test")
+    scores_beam = score_predictions(preds_beam, gts, verbose=False)
+    assert scores_beam["Bleu_1"] > 0.95, scores_beam
 
 
 @pytest.mark.slow
