@@ -11,6 +11,11 @@ implementation reproduces that behavior host-side:
    punctuation, brackets to -LRB-/-RRB-),
  - fallback: a regex tokenizer with the same core rules, used if nltk is
    unavailable,
+ - native backend (``backend='native'``): the C++ implementation of the
+   same PTB rule chain (native/s2vt_tokenize.cpp, SURVEY.md's prescribed
+   compiled equivalent of the jar), compiled on first use and loaded via
+   ctypes; token-for-token parity with the nltk backend is enforced by
+   tests/test_native_tokenizer.py,
  - optional jar backend (``backend='stanford'``) preserving the reference's
    exact subprocess contract when the user supplies the jar + java.
 
@@ -38,6 +43,35 @@ def _regex_ptb_tokenize(text: str) -> List[str]:
     return text.split()
 
 
+class _NativePTB:
+    """ctypes wrapper over native/s2vt_tokenize.cpp (built on first use)."""
+
+    def __init__(self):
+        import ctypes
+        import pathlib
+
+        from s2vt_tpu.data.native_loader import build_lib
+
+        src = (pathlib.Path(__file__).resolve().parents[2] / "native" /
+               "s2vt_tokenize.cpp")
+        lib = ctypes.CDLL(str(build_lib(src, "libs2vt_tokenize.so")))
+        lib.s2vt_ptb_tokenize.restype = ctypes.c_long
+        lib.s2vt_ptb_tokenize.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                          ctypes.c_long]
+        self._ctypes = ctypes
+        self._fn = lib.s2vt_ptb_tokenize
+
+    def tokenize(self, line: str) -> List[str]:
+        data = line.encode("utf-8")
+        cap = 4 * len(data) + 256
+        while True:
+            buf = self._ctypes.create_string_buffer(cap)
+            needed = self._fn(data, buf, cap)
+            if needed + 1 <= cap:
+                return buf.value.decode("utf-8").split()
+            cap = needed + 1
+
+
 class PTBTokenizer:
     def __init__(self, backend: str = "auto", jar_path: str = None):
         self.jar_path = jar_path
@@ -51,6 +85,8 @@ class PTBTokenizer:
         elif backend == "nltk":
             from nltk.tokenize import TreebankWordTokenizer
             self._tok = TreebankWordTokenizer()
+        elif backend == "native":
+            self._tok = _NativePTB()
         self.backend = backend
 
     def _tokenize_line(self, line: str) -> List[str]:
@@ -59,6 +95,8 @@ class PTBTokenizer:
             # convert_parentheses=True emits -LRB-/-RRB- like the Stanford
             # jar, which the PUNCTUATIONS strip list then removes.
             return self._tok.tokenize(line, convert_parentheses=True)
+        if self.backend == "native":
+            return self._tok.tokenize(line)
         return _regex_ptb_tokenize(line)
 
     def tokenize(self, captions_for_image: Dict) -> Dict[str, List[str]]:

@@ -87,6 +87,37 @@ def test_beam_sentences_match_reference_module(pair):
         assert got_ids == want_ids, f"sentence {b}: {got_ids} != {want_ids}"
 
 
+@pytest.mark.parametrize("rnn_type,num_layers", [("gru", 1), ("lstm", 2)])
+def test_s2vt_variants_match_reference_module(rnn_type, num_layers):
+    """The reference supports rnn_type='gru' and num_layers>1
+    (S2VTModel.py:15-22); both variants must match end-to-end, not just at
+    the cell level (test_rnn_parity.py)."""
+    torch.manual_seed(11)
+    ref = ref_s2vt_mod.S2VT(vocab_size=V, feat_dim=F, length=L, dim_hid=H,
+                            dim_embed=E, sos_ix=3, eos_ix=4,
+                            rnn_type=rnn_type, num_layers=num_layers)
+    ref.eval()
+    ours = S2VT(vocab_size=V, feat_dim=F, length=L, dim_hid=H, dim_embed=E,
+                sos_ix=3, eos_ix=4, rnn_type=rnn_type, num_layers=num_layers)
+    params = {"params": params_from_torch_state_dict(ref.state_dict())}
+
+    torch.manual_seed(4)
+    feats = torch.randn(B, L, F)
+    tgts = torch.randint(0, V, (B, L - 1))
+    with torch.no_grad():
+        want = ref(feats, tgts, mode="train").numpy()
+    got = ours.apply(params, jnp.asarray(feats.numpy()),
+                     jnp.asarray(tgts.numpy()), mode="train",
+                     deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-5)
+
+    with torch.no_grad():
+        want_g = ref(feats, mode="test").numpy()
+    got_g = np.asarray(ours.apply(params, jnp.asarray(feats.numpy()),
+                                  mode="test"))
+    np.testing.assert_array_equal(got_g, want_g)
+
+
 def test_att_baseline_matches_reference_module():
     torch.manual_seed(9)
     ref = ref_att_mod.Att_Baseline(vocab_size=V, dim_feat=F, length=L,
