@@ -358,8 +358,9 @@ def main():
     ap = argparse.ArgumentParser()
     # Throughput-serving batch: decode is sequential-latency-bound per
     # step, so large batches amortize it (64 -> 12.4k clips/s; 1024 ->
-    # ~32k; 2048 -> ~40k on one v5e). 1024 keeps batch latency ~32ms.
-    ap.add_argument("--batch", type=int, default=1024)
+    # ~38k; 2048 -> ~42k on one v5e at ~48ms batch latency). The serving
+    # CLI stays at smaller batches where latency matters.
+    ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--beam-batch", type=int, default=256)
     ap.add_argument("--beam-iters", type=int, default=3)
