@@ -1,0 +1,150 @@
+"""AOT serving artifacts: the decode computation as serialized StableHLO.
+
+A production serving deployment shouldn't need the flax model definition,
+a Python trace step, or a warm compile cache on every replica. Everything
+under ``jit`` is traced once and compiled (XLA semantics), so the whole
+captioner — feat projection, both LSTM chains, the greedy argmax loop or
+the batched beam search — is one exportable computation with static
+shapes. ``jax.export`` captures it as versioned StableHLO; the loader
+replays it on any same-or-newer jax runtime.
+
+This has no reference counterpart (the reference serves by unpickling a
+whole nn.Module, /root/reference/eval.py:41); it is the TPU-era
+equivalent of shipping a compiled model.
+
+Artifact layout (one directory):
+  decode.hlo       serialized jax.export artifact, fn(params, feats)
+  params.npz       param leaves, keys = joined tree paths
+  manifest.json    shapes/dtypes, vocab map, special tokens, decode config
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from s2vt_tpu.evaluation.decode import ids_to_sentence
+
+_SEP = "//"
+
+
+def _flatten_params(params) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = _SEP.join(str(getattr(p, "key", getattr(p, "idx", p)))
+                        for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten_params(flat: Dict[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for key, val in flat.items():
+        node = tree
+        parts = key.split(_SEP)
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return tree
+
+
+def export_captioner(model, params, ix2word: Dict[int, str],
+                     specials: Dict[str, int], batch_size: int,
+                     out_dir: str, mode: str = "greedy",
+                     beam_width: int = 3, max_beam_depth: int = 30,
+                     beam_score_mode: str = "cumulative",
+                     feats_dtype=jnp.float32) -> pathlib.Path:
+    """Export a fixed-shape captioner to ``out_dir``.
+
+    The exported function is ``fn(params, feats[batch_size, L, feat_dim])``
+    returning greedy token ids [B, L-1] (mode='greedy') or the best-beam
+    token matrix [B, max_beam_depth+1] (mode='beam', already sorted so row
+    0 of the beam axis is taken inside the export).
+    """
+    out = pathlib.Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    L, F = model.length, model.feat_dim
+
+    if mode == "greedy":
+        def fn(p, feats):
+            return model.apply({"params": p}, feats, mode="test")
+    elif mode == "beam":
+        def fn(p, feats):
+            res = model.apply({"params": p}, feats, mode="beam_search",
+                              beam_width=beam_width,
+                              max_beam_depth=max_beam_depth,
+                              beam_score_mode=beam_score_mode)
+            return res.tokens[:, 0, :]          # best beam, incl. <sos> slot
+    else:
+        raise ValueError(f"mode {mode!r} not supported (greedy|beam)")
+
+    param_shapes = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), jnp.asarray(x).dtype),
+        params)
+    feats_spec = jax.ShapeDtypeStruct((batch_size, L, F), feats_dtype)
+    exported = jax.export.export(jax.jit(fn))(param_shapes, feats_spec)
+    (out / "decode.hlo").write_bytes(exported.serialize())
+
+    np.savez(out / "params.npz", **_flatten_params(params))
+    manifest = {
+        "mode": mode,
+        "batch_size": batch_size,
+        "length": L,
+        "feat_dim": F,
+        "feats_dtype": np.dtype(feats_dtype).name,
+        "ix2word": {str(k): v for k, v in ix2word.items()},
+        "specials": dict(specials),
+        "beam": {"width": beam_width, "max_depth": max_beam_depth,
+                 "score_mode": beam_score_mode},
+        "jax_version": jax.__version__,
+    }
+    (out / "manifest.json").write_text(json.dumps(manifest))
+    return out
+
+
+class ServingCaptioner:
+    """Loads an exported artifact and captions feature batches — no model
+    code, no flax, no retrace; one compiled call per batch."""
+
+    def __init__(self, artifact_dir: str):
+        root = pathlib.Path(artifact_dir)
+        self.manifest = json.loads((root / "manifest.json").read_text())
+        self._exported = jax.export.deserialize(
+            (root / "decode.hlo").read_bytes())
+        with np.load(root / "params.npz") as z:
+            self.params = _unflatten_params({k: z[k] for k in z.files})
+        self.ix2word = {int(k): v for k, v in
+                        self.manifest["ix2word"].items()}
+        sp = self.manifest["specials"]
+        self.eos_ix, self.pad_ix = sp["eos_ix"], sp["pad_ix"]
+        self.sos_ix = sp["sos_ix"]
+        self.batch_size = self.manifest["batch_size"]
+
+    def decode_tokens(self, feats: np.ndarray) -> np.ndarray:
+        """Raw token ids for exactly one exported-shape batch."""
+        return np.asarray(self._exported.call(self.params, feats))
+
+    def caption(self, feats: np.ndarray) -> List[str]:
+        """Caption up to ``batch_size`` clips; ragged input is zero-padded
+        to the exported batch shape (static shapes — XLA never re-traces)."""
+        n = feats.shape[0]
+        if n > self.batch_size:
+            raise ValueError(f"batch {n} exceeds exported size "
+                             f"{self.batch_size}")
+        if n < self.batch_size:
+            pad = np.zeros((self.batch_size - n,) + feats.shape[1:],
+                           feats.dtype)
+            feats = np.concatenate([feats, pad], axis=0)
+        toks = self.decode_tokens(
+            feats.astype(self.manifest["feats_dtype"]))
+        strip_sos: Optional[int] = (self.sos_ix
+                                    if self.manifest["mode"] == "beam"
+                                    else None)
+        return [ids_to_sentence(toks[i], self.ix2word, self.eos_ix,
+                                sos_ix=strip_sos, pad_ix=self.pad_ix)
+                for i in range(n)]

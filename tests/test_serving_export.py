@@ -1,0 +1,67 @@
+"""AOT serving export: exported StableHLO artifact == live model decode."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s2vt_tpu.models import S2VT
+from s2vt_tpu.serving import ServingCaptioner, export_captioner
+
+V, F, L, H, E, B = 32, 12, 8, 16, 16, 4
+SPECIALS = {"pad_ix": 0, "unk_ix": 1, "sos_ix": 3, "eos_ix": 4}
+IX2WORD = {i: f"w{i}" for i in range(V)}
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    model = S2VT(vocab_size=V, feat_dim=F, length=L, dim_hid=H, dim_embed=E,
+                 sos_ix=3, eos_ix=4)
+    feats = jax.random.normal(jax.random.PRNGKey(0), (B, L, F))
+    params = model.init(jax.random.PRNGKey(1), feats, mode="test")["params"]
+    return model, params, feats, tmp_path_factory.mktemp("artifacts")
+
+
+def test_greedy_export_roundtrip(setup):
+    model, params, feats, root = setup
+    out = export_captioner(model, params, IX2WORD, SPECIALS, B,
+                           root / "greedy", mode="greedy")
+    srv = ServingCaptioner(out)
+    want = np.asarray(model.apply({"params": params}, feats, mode="test"))
+    got = srv.decode_tokens(np.asarray(feats))
+    np.testing.assert_array_equal(got, want)
+    sents = srv.caption(np.asarray(feats))
+    assert len(sents) == B and all(isinstance(s, str) for s in sents)
+
+
+def test_beam_export_roundtrip(setup):
+    model, params, feats, root = setup
+    out = export_captioner(model, params, IX2WORD, SPECIALS, B,
+                           root / "beam", mode="beam", beam_width=3,
+                           max_beam_depth=5)
+    srv = ServingCaptioner(out)
+    res = model.apply({"params": params}, feats, mode="beam_search",
+                      beam_width=3, max_beam_depth=5)
+    want = np.asarray(res.tokens)[:, 0, :]
+    got = srv.decode_tokens(np.asarray(feats))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ragged_batch_zero_padded(setup):
+    model, params, feats, root = setup
+    srv = ServingCaptioner(root / "greedy")
+    sents_full = srv.caption(np.asarray(feats))
+    sents_part = srv.caption(np.asarray(feats[:2]))
+    assert sents_part == sents_full[:2]
+    with pytest.raises(ValueError):
+        srv.caption(np.zeros((B + 1, L, F), np.float32))
+
+
+def test_artifact_is_model_free(setup):
+    """The loader must not need the model class: only files are read."""
+    _, _, feats, root = setup
+    srv = ServingCaptioner(root / "greedy")
+    assert set(p.name for p in (root / "greedy").iterdir()) == {
+        "decode.hlo", "params.npz", "manifest.json"}
+    assert srv.manifest["mode"] == "greedy"
