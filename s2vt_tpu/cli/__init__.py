@@ -15,3 +15,8 @@ from s2vt_tpu.cli.prepare import main as prepare_main  # noqa: F401
 def extract_main():
     from s2vt_tpu.cli.extract import main
     return main()
+
+
+def export_serving_main():
+    from s2vt_tpu.cli.export_serving import main
+    return main()

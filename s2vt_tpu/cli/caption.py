@@ -16,23 +16,34 @@ class ClipCaptioner:
     cached per batch shape, so a long-lived server pays compilation only
     on the first request of each batch size."""
 
-    def __init__(self, model_path: str, captions_file: str = None,
+    def __init__(self, model_path: str = None, captions_file: str = None,
                  backbone: str = "vgg16", weights: str = None,
                  beam: bool = False, compute_dtype: str = None,
-                 early_stop: bool = False):
-        from s2vt_tpu.config import Opt
-        from s2vt_tpu.data.corpus import load_captions, special_token_indices
-        from s2vt_tpu.evaluation.decode import model_from_checkpoint
+                 early_stop: bool = False, artifact: str = None):
         from s2vt_tpu.extract.pipeline import FeatureExtractor
-        from s2vt_tpu.training.checkpoint import load_config
 
-        cfg = load_config(model_path)
-        base_opt = Opt(**cfg) if cfg else Opt()
-        data = load_captions(captions_file or base_opt.caption_file)
-        self.ix2word = {int(k): v for k, v in data["ix2word"].items()}
-        self.specials = special_token_indices(data["word2ix"])
-        self.opt, self.model, self.params = model_from_checkpoint(
-            model_path, len(data["word2ix"]))
+        self.artifact = None
+        if artifact is not None:
+            # AOT serving path: decode from an exported StableHLO artifact
+            # (cli/export_serving.py) — no checkpoint, no model code.
+            from s2vt_tpu.serving import ServingCaptioner
+            self.artifact = ServingCaptioner(artifact)
+            self.frames_num = self.artifact.manifest["length"]
+        else:
+            from s2vt_tpu.config import Opt
+            from s2vt_tpu.data.corpus import (load_captions,
+                                              special_token_indices)
+            from s2vt_tpu.evaluation.decode import model_from_checkpoint
+            from s2vt_tpu.training.checkpoint import load_config
+
+            cfg = load_config(model_path)
+            base_opt = Opt(**cfg) if cfg else Opt()
+            data = load_captions(captions_file or base_opt.caption_file)
+            self.ix2word = {int(k): v for k, v in data["ix2word"].items()}
+            self.specials = special_token_indices(data["word2ix"])
+            self.opt, self.model, self.params = model_from_checkpoint(
+                model_path, len(data["word2ix"]))
+            self.frames_num = self.opt.train_length
         self.extractor = FeatureExtractor(backbone, weights, compute_dtype)
         self.beam = beam
         self.early_stop = early_stop
@@ -44,8 +55,11 @@ class ClipCaptioner:
 
         feats = np.stack([
             self.extractor.extract_clip(str(p), mode="fix",
-                                        frames_num=self.opt.train_length)
+                                        frames_num=self.frames_num)
             for p in inputs])
+        if self.artifact is not None:
+            sents = self.artifact.caption(feats)
+            return {str(p): s for p, s in zip(inputs, sents)}
         if self.beam:
             res = self.model.apply(
                 {"params": self.params}, feats, mode="beam_search",
@@ -104,7 +118,11 @@ def main():
                     help="long-lived serving loop: clip path(s) per stdin "
                          "line -> JSON per stdout line; model/backbone are "
                          "built once and reused across requests")
-    ap.add_argument("--model_path", required=True)
+    ap.add_argument("--model_path", default=None,
+                    help="checkpoint directory (required unless --artifact)")
+    ap.add_argument("--artifact", default=None,
+                    help="AOT serving artifact directory (from "
+                         "cli/export_serving.py); replaces --model_path")
     ap.add_argument("--caption_file", default=None,
                     help="captions.json for the vocab (default: the one "
                          "recorded in the checkpoint config)")
@@ -119,20 +137,23 @@ def main():
                          "<eos> (serving speedup; sentences unchanged)")
     ap.add_argument("--compute_dtype", default=None, choices=[None, "bfloat16"])
     args = ap.parse_args()
+    if args.model_path is None and args.artifact is None:
+        ap.error("one of --model_path / --artifact is required")
 
     if args.serve:
         captioner = ClipCaptioner(args.model_path, args.caption_file,
                                   args.backbone, args.weights, args.beam,
-                                  args.compute_dtype, args.early_stop)
+                                  args.compute_dtype, args.early_stop,
+                                  artifact=args.artifact)
         n = serve(captioner)
         print(f"served {n} request(s)", flush=True)
         return
     if not args.inputs:
         ap.error("provide clip paths, or use --serve")
-    captions = caption_clips(args.model_path, args.inputs, args.caption_file,
-                             args.backbone, args.weights, args.beam,
-                             args.compute_dtype)
-    print(json.dumps(captions, indent=1))
+    captioner = ClipCaptioner(args.model_path, args.caption_file,
+                              args.backbone, args.weights, args.beam,
+                              args.compute_dtype, artifact=args.artifact)
+    print(json.dumps(captioner.caption(args.inputs), indent=1))
 
 
 if __name__ == "__main__":

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import json
 import pathlib
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -142,9 +142,8 @@ class ServingCaptioner:
             feats = np.concatenate([feats, pad], axis=0)
         toks = self.decode_tokens(
             feats.astype(self.manifest["feats_dtype"]))
-        strip_sos: Optional[int] = (self.sos_ix
-                                    if self.manifest["mode"] == "beam"
-                                    else None)
+        # a leading <sos> (always present on the beam path's slot 0,
+        # possible-in-principle on greedy) is stripped either way
         return [ids_to_sentence(toks[i], self.ix2word, self.eos_ix,
-                                sos_ix=strip_sos, pad_ix=self.pad_ix)
+                                sos_ix=self.sos_ix, pad_ix=self.pad_ix)
                 for i in range(n)]

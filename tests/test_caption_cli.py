@@ -66,3 +66,20 @@ def test_caption_clips_end_to_end(tmp_path):
     assert lines[0][str(clip)] == out[str(clip)]  # same answer as one-shot
     assert len(lines[1]) == 1  # duplicate paths collapse to one key
     assert "error" in lines[2]
+
+    # AOT artifact path: export the checkpointed decoder, caption via the
+    # artifact (no checkpoint / model rebuild), same sentence as live.
+    from s2vt_tpu.cli import export_serving
+    art = tmp_path / "artifact"
+    import sys
+    argv = sys.argv
+    sys.argv = ["export_serving", "--model_path", ckpt,
+                "--caption_file", corpus["captions_file"],
+                "--out", str(art), "--batch", "2"]
+    try:
+        export_serving.main()
+    finally:
+        sys.argv = argv
+    art_captioner = ClipCaptioner(backbone="tiny", artifact=str(art))
+    out_art = art_captioner.caption([clip])
+    assert out_art[str(clip)] == out[str(clip)]
