@@ -105,6 +105,10 @@ def beam_search(step_fn: Callable, init_states, *, sos_ix: int, eos_ix: int,
         d, _, _, _, _, _, finished, _ = carry
         return jnp.logical_and(d < max_depth, ~jnp.all(finished))
 
+    def _topk(x, k):
+        # exact; iterative argmax below k=9, sort lowering only for wide k
+        return _topk_small(x, k) if k <= 8 else jax.lax.top_k(x, k)
+
     def body(carry):
         d, states, tokens, last, cum, length, finished, score = carry
         new_states, logp = step_fn(states, last.reshape(B * W))
@@ -122,33 +126,39 @@ def beam_search(step_fn: Callable, init_states, *, sos_ix: int, eos_ix: int,
             kth = jax.lax.top_k(logp, expand_k)[0][..., -1:]
             logp = jnp.where(logp >= kth, logp, NEG_INF)
 
-        cand_cum = cum[..., None] + logp                       # [B, W, V]
+        # The same monotonicity means the global top-W lives inside the
+        # per-node top-W BY LOGP — so scores/cums are only ever computed
+        # for these W*W survivors, never materialized at [B, W, V]. The
+        # only full-width passes per step are the W argmax sweeps of logp.
+        logp_cand, tok_cand = _topk(logp.reshape(B * W, V), W)
+        logp_cand = logp_cand.reshape(B, W, W)     # rank-ordered per node
+        tok_cand = tok_cand.reshape(B, W, W).astype(jnp.int32)
+
+        cum_cand = cum[..., None] + logp_cand                  # [B, W, W]
         cand_len = (length + 1).astype(jnp.float32)[..., None]
         if score_mode == "cumulative":
-            basis = cand_cum
+            basis = cum_cand
         else:
             # reference scoring uses only the step logp; dead root
             # duplicates (cum == -inf) must still be masked out explicitly.
-            basis = jnp.where(cand_cum <= NEG_INF / 2, NEG_INF, logp)
+            basis = jnp.where(cum_cand <= NEG_INF / 2, NEG_INF, logp_cand)
         cand_score = basis / jnp.power(cand_len, alpha)
 
         # Finished beams persist unchanged: a single frozen candidate at
-        # the <eos> column, everything else -inf.
-        is_eos_col = (jnp.arange(V) == eos_ix)[None, None, :]
+        # rank 0 carrying <eos> and the frozen score, everything else -inf.
+        rank0 = (jnp.arange(W) == 0)[None, None, :]
         fin = finished[..., None]
         cand_score = jnp.where(
-            fin, jnp.where(is_eos_col, score[..., None], NEG_INF), cand_score)
-        cand_cum = jnp.where(fin, cum[..., None], cand_cum)
+            fin, jnp.where(rank0, score[..., None], NEG_INF), cand_score)
+        cum_cand = jnp.where(fin, cum[..., None], cum_cand)
+        tok_cand = jnp.where(fin, eos_ix, tok_cand)
 
-        flat_score = cand_score.reshape(B, W * V)
-        if W <= 8:
-            new_score, flat_idx = _topk_small(flat_score, W)   # [B, W]
-        else:
-            new_score, flat_idx = jax.lax.top_k(flat_score, W)
-        parent = flat_idx // V
-        token = (flat_idx % V).astype(jnp.int32)
-
-        new_cum = jnp.take_along_axis(cand_cum.reshape(B, W * V), flat_idx, axis=1)
+        new_score, flat_idx = _topk(cand_score.reshape(B, W * W), W)
+        parent = flat_idx // W
+        token = jnp.take_along_axis(tok_cand.reshape(B, W * W), flat_idx,
+                                    axis=1)
+        new_cum = jnp.take_along_axis(cum_cand.reshape(B, W * W), flat_idx,
+                                      axis=1)
         parent_fin = jnp.take_along_axis(finished, parent, axis=1)
         parent_len = jnp.take_along_axis(length, parent, axis=1)
         new_length = jnp.where(parent_fin, parent_len, parent_len + 1)
