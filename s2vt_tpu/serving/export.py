@@ -68,7 +68,9 @@ def export_captioner(model, params, ix2word: Dict[int, str],
     """
     out = pathlib.Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    L, F = model.length, model.feat_dim
+    # S2VT names it feat_dim, AttBaseline dim_feat — both export fine.
+    L = model.length
+    F = getattr(model, "feat_dim", None) or model.dim_feat
 
     if mode == "greedy":
         def fn(p, feats):

@@ -58,6 +58,20 @@ def test_ragged_batch_zero_padded(setup):
         srv.caption(np.zeros((B + 1, L, F), np.float32))
 
 
+def test_att_baseline_export(setup):
+    """The attention baseline (dim_feat attribute) exports too."""
+    from s2vt_tpu.models import AttBaseline
+    _, _, feats, root = setup
+    model = AttBaseline(vocab_size=V, dim_feat=F, length=L, dim_hid=H,
+                        dim_embed=E, sos_ix=3, eos_ix=4)
+    params = model.init(jax.random.PRNGKey(2), feats, mode="test")["params"]
+    out = export_captioner(model, params, IX2WORD, SPECIALS, B,
+                           root / "att", mode="greedy")
+    srv = ServingCaptioner(out)
+    want = np.asarray(model.apply({"params": params}, feats, mode="test"))
+    np.testing.assert_array_equal(srv.decode_tokens(np.asarray(feats)), want)
+
+
 def test_artifact_is_model_free(setup):
     """The loader must not need the model class: only files are read."""
     _, _, feats, root = setup
