@@ -169,3 +169,20 @@ def test_reference_mode_with_likely_eos(seed):
         got = toks[b, 0, :lens[b, 0]].tolist()
         assert got == want, f"sentence {b}: {got} != {want}"
         assert want[-1] == eos_ix or len(want) == D + 1
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_topk_small_equals_lax_topk(seed):
+    """_topk_small must select the same values AND indices as lax.top_k,
+    including tie-breaking toward the lower index."""
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((5, 37)).astype(np.float32)
+    # engineered ties: duplicate some columns and pin a few exact repeats
+    x[:, 10] = x[:, 3]
+    x[:, 20] = x[:, 3]
+    x[0, :] = 1.0  # a fully tied row
+    for k in (1, 3, 8):
+        want_v, want_i = jax.lax.top_k(jnp.asarray(x), k)
+        got_v, got_i = beam_mod._topk_small(jnp.asarray(x), k)
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
