@@ -248,6 +248,47 @@ def bench_train_step(batch: int, use_pallas: bool, iters: int,
     return dt / iters * 1e3
 
 
+def bench_conv_ab(iters: int = 10) -> dict:
+    """Pallas fused conv+BN+ReLU vs XLA at every VGG16-bn shape (the
+    measured justification for keeping lax.conv in the backbones —
+    README's A/B table). Off by default (--conv-ab): ten fresh jits."""
+    import jax
+    import jax.numpy as jnp
+
+    from s2vt_tpu.ops.pallas_conv import (fused_conv3x3_bn_relu,
+                                          xla_conv3x3_bn_relu)
+
+    from functools import partial
+
+    out = {}
+    for (N, H_, W_, C, K) in [(80, 224, 224, 64, 64),
+                              (80, 112, 112, 128, 128),
+                              (80, 56, 56, 256, 256),
+                              (80, 28, 28, 512, 512),
+                              (80, 14, 14, 512, 512)]:
+        x = jax.jit(lambda k: jax.random.normal(k, (N, H_, W_, C)))(
+            jax.random.PRNGKey(0))
+        w = jax.jit(lambda k: jax.random.normal(k, (3, 3, C, K)) * 0.05)(
+            jax.random.PRNGKey(1))
+        sb = jnp.stack([jnp.ones((K,)), jnp.zeros((K,))])
+        for name, fn in (("pallas", fused_conv3x3_bn_relu),
+                         ("xla", xla_conv3x3_bn_relu)):
+            @partial(jax.jit, static_argnums=4)
+            def many(x, w, salt0, sb, n, fn=fn):
+                def body(salt, _):
+                    t = jnp.sum(fn(x + salt, w, sb[0], sb[1])).astype(
+                        jnp.float32)
+                    return t * 1e-9, t
+                _, ts = jax.lax.scan(body, salt0, None, length=n)
+                return ts
+            _ = np.asarray(many(x, w, jnp.float32(0.0), sb, iters))
+            t0 = time.perf_counter()
+            _ = np.asarray(many(x, w, jnp.float32(1e-5), sb, iters))
+            out[f"conv_{H_}x{W_}x{C}_{name}_ms"] = round(
+                (time.perf_counter() - t0) / iters * 1e3, 2)
+    return out
+
+
 def train_matmul_flops(batch: int) -> float:
     """Analytic matmul FLOPs of one S2VT teacher-forced train step
     (fwd + bwd ~= 3x fwd for matmul-dominated nets)."""
@@ -370,6 +411,8 @@ def main():
     ap.add_argument("--baseline-batch", type=int, default=10)  # eval.py:27
     ap.add_argument("--baseline-iters", type=int, default=3)
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--conv-ab", action="store_true",
+                    help="also run the pallas-vs-XLA conv A/B (10 jits)")
     ap.add_argument("--skip-extract", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
     args = ap.parse_args()
@@ -417,6 +460,10 @@ def main():
             extra["train_step_ms_b16_att_baseline"] = round(
                 bench_train_step(16, False, args.train_iters,
                                  arch="att_baseline"), 2)
+
+    if args.conv_ab:
+        with _stage("conv A/B"):
+            extra.update(bench_conv_ab())
 
     if args.skip_baseline:
         vs = None
