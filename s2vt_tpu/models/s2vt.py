@@ -235,6 +235,11 @@ class S2VT(nn.Module):
         vid_tail = jnp.swapaxes(output1[:, self.length:, :], 0, 1)  # [L-1, B, H]
         sos = jnp.full((B,), self.sos_ix, jnp.int32)
 
+        # NOTE: the out-projection + argmax stays on the XLA path on
+        # purpose — XLA fuses the argmax reduce into the matmul epilogue
+        # (no [B, V] HBM materialization), and the Pallas alternative
+        # (ops/pallas_decode.py) measured SLOWER (38.9k vs 44.2k clips/s
+        # at B=2048). Measured decision, like the conv kernel (README).
         def decode_one(states, word, vid_out_t):
             emb = jnp.take(emb_table, word, axis=0)               # [B, E]
             x = jnp.concatenate([emb, vid_out_t], axis=-1)        # [B, E+H]
