@@ -241,6 +241,21 @@ class Trainer:
             self.restore(opt.resume_path)
 
         epochs = opt.EPOCHS if epochs is None else epochs
+
+        # Preemption safety (beyond the reference's KeyboardInterrupt-only
+        # handling, train.py:170-175): TPU reservations deliver SIGTERM
+        # before eviction — finish the current epoch, fall through to the
+        # 'final' checkpoint, and exit cleanly so --resume_path continues.
+        import signal
+        self._stop_requested = False
+
+        def _on_sigterm(signum, frame):
+            self._stop_requested = True
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:            # not in the main thread
+            prev_handler = None
         try:
             for epoch in range(epochs):
                 if opt.profile and epoch == 0:
@@ -269,9 +284,14 @@ class Trainer:
                     break
                 if epoch % opt.save_freq == 0:
                     self.save(str(epoch))
+                if self._stop_requested:
+                    break
         except KeyboardInterrupt:
             if self.writer is not None:
                 self.writer.flush()
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
         self.save("final")
         if self.writer is not None:
             self.writer.flush()

@@ -195,3 +195,29 @@ def test_tensorboard_writer_auto(corpus, tmp_path):
     import pathlib
     events = list(pathlib.Path(opt.log_dir).rglob("events.*"))
     assert events, "tensorboard event file written"
+
+
+def test_sigterm_preemption_checkpoints_and_resumes(corpus, tmp_path):
+    """SIGTERM mid-training (TPU preemption notice) finishes the epoch,
+    writes the 'final' checkpoint, and restores the previous handler."""
+    import os
+    import signal
+
+    opt = small_opt(corpus, tmp_path, EPOCHS=50)
+    tr = Trainer(opt, writer=None)
+
+    def preempt(trainer, epoch):
+        if epoch == 1:
+            signal.raise_signal(signal.SIGTERM)
+
+    prev = signal.getsignal(signal.SIGTERM)
+    hist = tr.fit(on_epoch_end=preempt)
+    assert len(hist["train_loss"]) == 2          # stopped after epoch 1
+    assert signal.getsignal(signal.SIGTERM) is prev
+
+    final = os.path.join(opt.save_path, opt.start_time + "final")
+    assert os.path.isdir(final)
+    opt2 = small_opt(corpus, tmp_path, EPOCHS=1, resume_path=final)
+    tr2 = Trainer(opt2, writer=None)
+    hist2 = tr2.fit()                            # resumes cleanly
+    assert len(hist2["train_loss"]) == 1
