@@ -221,3 +221,14 @@ def test_sigterm_preemption_checkpoints_and_resumes(corpus, tmp_path):
     tr2 = Trainer(opt2, writer=None)
     hist2 = tr2.fit()                            # resumes cleanly
     assert len(hist2["train_loss"]) == 1
+
+
+def test_profile_flag_writes_trace(corpus, tmp_path):
+    """Opt.profile traces epoch 0 via jax.profiler into log_dir/profile."""
+    import os
+    opt = small_opt(corpus, tmp_path, EPOCHS=1, profile=True)
+    Trainer(opt, writer=None).fit()
+    prof = os.path.join(opt.log_dir, "profile")
+    assert os.path.isdir(prof)
+    found = [f for _, _, fs in os.walk(prof) for f in fs]
+    assert found, "no trace artifacts written"
