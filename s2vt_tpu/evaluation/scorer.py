@@ -25,6 +25,34 @@ def pred_to_coco_samples_IDs(prediction_dict: Dict[str, str],
     return samples, list(samples.keys())
 
 
+def msr_vtt_to_coco_gts(train_source_file: str) -> Dict[str, list]:
+    """Build scorer gts straight from an MSR-VTT videodatainfo json.
+
+    The reference ships this as ``mst_vrr_to_coco_gts`` marked "abandon"
+    (eval.py:101-133) — and its ``zip(videos, sentences)`` pairs each
+    sentence with an unrelated video entry, which is presumably why it was
+    abandoned. This is the intended semantics: sentences grouped by their
+    OWN ``video_id``, with the reference's tokenization (lowercase +
+    ``[.!,;?:]`` stripped, eval.py:113-114) and sequential cap_ids.
+    """
+    import json
+    import re
+
+    with open(train_source_file, encoding="utf-8") as f:
+        sentences = json.load(f)["sentences"]
+    gts: Dict[str, list] = {}
+    for sent in sentences:
+        image_id = sent["video_id"]
+        caps = gts.setdefault(image_id, [])
+        caps.append({
+            "image_id": image_id,
+            "cap_id": len(caps),
+            "caption": sent["caption"],
+            "tokenized": re.sub(r"[.!,;?:]", " ", sent["caption"].lower()),
+        })
+    return gts
+
+
 class COCOScorer:
     """The reference's scorer harness (eval.py:155-209): PTB-tokenize gts and
     hypotheses, run the four metric families, collect corpus-level and

@@ -84,3 +84,26 @@ def test_coco_eval_cap_harness():
     assert {"Bleu_1", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr"} <= set(scores)
     assert ev.imgToEval["a"]["Bleu_1"] == pytest.approx(1.0, abs=1e-6)
     assert len(ev.evalImgs) == 2
+
+
+def test_msr_vtt_to_coco_gts(tmp_path):
+    """The reference's abandoned mst_vrr_to_coco_gts (eval.py:101-133),
+    fixed: sentences grouped by their own video_id."""
+    import json
+
+    from s2vt_tpu.evaluation.scorer import msr_vtt_to_coco_gts
+
+    data = {"videos": [{"video_id": "video0"}, {"video_id": "video1"}],
+            "sentences": [
+                {"video_id": "video0", "caption": "A man runs."},
+                {"video_id": "video1", "caption": "Hello, there!"},
+                {"video_id": "video0", "caption": "Someone is running?"}]}
+    p = tmp_path / "info.json"
+    p.write_text(json.dumps(data))
+    gts = msr_vtt_to_coco_gts(str(p))
+    assert sorted(gts) == ["video0", "video1"]
+    assert [c["cap_id"] for c in gts["video0"]] == [0, 1]
+    assert gts["video0"][0]["tokenized"] == "a man runs "
+    # ',' and '!' replaced by spaces (reference regex [.!,;?:], eval.py:114)
+    assert gts["video1"][0]["tokenized"] == "hello  there "
+    assert gts["video0"][1]["caption"] == "Someone is running?"
