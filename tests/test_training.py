@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from s2vt_tpu.config import Opt
 from s2vt_tpu.data import make_synthetic_corpus
@@ -232,3 +233,49 @@ def test_profile_flag_writes_trace(corpus, tmp_path):
     assert os.path.isdir(prof)
     found = [f for _, _, fs in os.walk(prof) for f in fs]
     assert found, "no trace artifacts written"
+
+
+def test_msrvtt_scale_vocab_tp_step():
+    """BASELINE config #5 scale evidence: one sharded train step at
+    MSR-VTT vocab (~29k) with vocab-dim TP on the 8-device mesh."""
+    import optax
+
+    from s2vt_tpu.models import S2VT
+    from s2vt_tpu.parallel import mesh as mesh_lib
+    from s2vt_tpu.training.loop import batch_loss
+
+    V, B, L, D = 29056, 16, 8, 12   # 29056 = MSR-VTT-ish vocab, %8 == 0
+    mesh = make_mesh((4, 2))
+    model = S2VT(vocab_size=V, feat_dim=D, length=L, dim_hid=16,
+                 dim_embed=16, sos_ix=3, eos_ix=4)
+    feats = jnp.zeros((B, L, D), jnp.float32)
+    targets = jnp.zeros((B, L), jnp.int32)
+    mask = jnp.ones((B, L), jnp.float32)
+    valid = jnp.ones((B,), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), feats, targets[:, :-1],
+                        mode="train", deterministic=True)["params"]
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(params)
+    p_sh = mesh_lib.param_shardings(mesh, params)
+    # the vocab-dim leaves actually shard at this scale
+    assert any(sh.spec != jax.sharding.PartitionSpec()
+               for sh in jax.tree_util.tree_leaves(p_sh))
+    params = jax.device_put(params, p_sh)
+    opt_state = jax.device_put(
+        opt_state, mesh_lib.opt_state_shardings(mesh, params, opt_state))
+    feats, targets, mask, valid = mesh_lib.shard_batch_arrays(
+        mesh, feats, targets, mask, valid)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, feats, targets[:, :-1],
+                                 mode="train", deterministic=True)
+            return batch_loss(logits, targets, mask, valid)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    with mesh:
+        params, opt_state, loss = step(params, opt_state)
+    assert np.isfinite(float(loss))
