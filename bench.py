@@ -422,6 +422,13 @@ def main():
     with _stage("decode"):
         ours = bench_jax(args.batch, args.iters)
     extra["decode_batch"] = args.batch
+    with _stage("decode b10 like-for-like"):
+        # the reference's own eval batch (eval.py:27) — the apples-to-
+        # apples ratio against the torch baseline below, which also runs
+        # at B=10; the headline number above is the throughput-serving
+        # batch.
+        extra["decode_clips_per_sec_b10"] = round(
+            bench_jax(args.baseline_batch, args.iters * 4), 2)
     with _stage("decode early-stop bound"):
         extra["decode_early_stop_bound_clips_per_sec"] = round(
             bench_jax_early_stop_bound(args.batch, args.iters), 2)
@@ -472,6 +479,9 @@ def main():
             baseline = bench_torch_reference(args.baseline_batch,
                                              args.baseline_iters)
         extra["decode_torch_cpu_clips_per_sec"] = round(baseline, 2)
+        if "decode_clips_per_sec_b10" in extra:
+            extra["decode_vs_torch_cpu_b10_like_for_like"] = round(
+                extra["decode_clips_per_sec_b10"] / baseline, 1)
         vs = ours / baseline
     extra["baseline_note"] = ("torch-CPU reference (no GPU on this host); "
                               "vs_baseline is TPU-vs-CPU, not like-for-like")
