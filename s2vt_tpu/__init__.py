@@ -18,6 +18,10 @@ A from-scratch rebuild of the capabilities of Kamino666/S2VT-video-caption
                    tokenizer compatible with the coco-caption toolkit.
 - ``parallel``   — device mesh + sharding helpers (dp × tp).
 - ``extract``    — video frame sampling + jitted backbone feature extraction.
+- ``serving``    — AOT export: the jitted decode as versioned StableHLO
+                   artifacts replayed without model code.
+- ``cocotools``  — COCO dataset API + detection evaluator over the C++ RLE
+                   mask ops.
 """
 
 __version__ = "0.1.0"
