@@ -342,6 +342,69 @@ def bench_torch_reference(batch: int, iters: int) -> float:
     return batch * iters / dt
 
 
+def bench_torch_beam(batch: int, iters: int) -> float:
+    """Reference-style beam search: per-sentence PriorityQueue over the
+    decode stage (S2VTModel.py:149-269 semantics — width 3, depth 30,
+    top-20 expansion, score logp/len^0.7, one-step vid_rnn continuation
+    with zero input per depth). The like-for-like baseline for
+    beam_clips_per_sec."""
+    import heapq
+    import itertools
+
+    import torch
+    import torch.nn as tnn
+
+    W_, DEPTH, EXPAND, SOS_, EOS_ = 3, 30, 20, SOS, 4
+    torch.manual_seed(0)
+    with torch.no_grad():
+        vid_rnn = tnn.LSTM(H, H, batch_first=True)
+        word_rnn = tnn.LSTM(H + E, H, batch_first=True)
+        feat_linear = tnn.Linear(FEAT, H)
+        out_linear = tnn.Linear(H, VOCAB)
+        embedding = tnn.Embedding(VOCAB, E)
+        feats = torch.randn(batch, L, FEAT)
+
+        def beam_one(fe):
+            out1, st1 = vid_rnn(feat_linear(fe).unsqueeze(0))
+            enc_in = torch.cat([torch.zeros(1, L, E), out1], dim=2)
+            _, st2 = word_rnn(enc_in)
+            counter = itertools.count()
+            root = (st1, st2, SOS_, 0.0, 1, None)
+            queue = [(0.0, next(counter), root)]
+            for _ in range(DEPTH):
+                beam_nodes = [heapq.heappop(queue)
+                              for _ in range(min(W_, len(queue)))]
+                queue = []
+                for score, cnt, node in beam_nodes:
+                    s1, s2, word, logp, leng, prev = node
+                    if word == EOS_ and prev is not None:
+                        heapq.heappush(queue, (score, cnt, node))
+                        continue
+                    vid_out, s1n = vid_rnn(torch.zeros(1, 1, H), s1)
+                    x = torch.cat([embedding(torch.tensor([[word]])),
+                                   vid_out], dim=2)
+                    o, s2n = word_rnn(x, s2)
+                    lp = torch.log_softmax(out_linear(o[0, 0]), dim=0)
+                    top = torch.topk(lp, EXPAND).indices
+                    for ix in top.tolist():
+                        child = (s1n, s2n, ix, float(lp[ix]), leng + 1, node)
+                        heapq.heappush(
+                            queue,
+                            (-child[3] / (leng + 1) ** 0.7, next(counter),
+                             child))
+                if len(queue) <= W_:
+                    break
+            return heapq.heappop(queue)
+
+        beam_one(feats[0])  # warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            for bi in range(batch):
+                beam_one(feats[bi])
+        dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
 def bench_torch_extract(iters: int) -> float:
     """Reference-style extraction: one torch vgg16_bn forward per clip on
     CPU (torchvision/pretrainedmodels are unavailable here, so the conv
@@ -479,6 +542,12 @@ def main():
             baseline = bench_torch_reference(args.baseline_batch,
                                              args.baseline_iters)
         extra["decode_torch_cpu_clips_per_sec"] = round(baseline, 2)
+        if not args.skip_beam:
+            with _stage("beam torch-cpu baseline"):
+                beam_base = bench_torch_beam(args.baseline_batch, 1)
+            extra["beam_torch_cpu_clips_per_sec"] = round(beam_base, 2)
+            extra["beam_vs_torch_cpu"] = round(
+                extra["beam_clips_per_sec"] / beam_base, 1)
         if "decode_clips_per_sec_b10" in extra:
             extra["decode_vs_torch_cpu_b10_like_for_like"] = round(
                 extra["decode_clips_per_sec_b10"] / baseline, 1)
