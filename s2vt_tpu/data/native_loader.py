@@ -16,7 +16,7 @@ import os
 import pathlib
 import subprocess
 import threading
-from typing import Iterator, Optional, Sequence
+from typing import Iterator, Sequence
 
 import numpy as np
 

@@ -14,7 +14,7 @@ input_range -> normalize. Sampling index math matches the reference exactly:
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ extract/backbones.py:
 
 from __future__ import annotations
 
-from typing import Dict, Mapping
+from typing import Mapping
 
 import jax.numpy as jnp
 import numpy as np

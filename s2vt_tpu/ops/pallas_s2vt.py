@@ -40,7 +40,7 @@ MXU-aligned, and num_layers == 1.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ collectives), and feeds its local shard of every batch through
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np
