@@ -25,8 +25,10 @@ def main():
     ap.add_argument("--caption_file", default=None,
                     help="captions.json for the vocab (default: the one "
                          "recorded in the checkpoint config)")
-    ap.add_argument("--batch", type=int, default=16,
-                    help="exported (static) batch size")
+    ap.add_argument("--batch", default="16",
+                    help="exported batch size, or 'poly' for a "
+                         "shape-polymorphic artifact (any batch; the "
+                         "serving runtime lowers each new shape once)")
     ap.add_argument("--beam", action="store_true",
                     help="export beam-search decode instead of greedy")
     ap.add_argument("--beam_width", type=int, default=None)
@@ -46,14 +48,15 @@ def main():
     specials = special_token_indices(data["word2ix"])
     opt, model, params = model_from_checkpoint(args.model_path,
                                                len(data["word2ix"]))
+    batch = None if args.batch == "poly" else int(args.batch)
     out = export_captioner(
-        model, params, ix2word, specials, args.batch, args.out,
+        model, params, ix2word, specials, batch, args.out,
         mode="beam" if args.beam else "greedy",
         beam_width=args.beam_width or opt.beam_width,
         max_beam_depth=args.max_beam_depth or opt.max_beam_depth,
         beam_score_mode=opt.beam_score_mode)
     print(f"exported {'beam' if args.beam else 'greedy'} captioner "
-          f"(batch={args.batch}) to {out}")
+          f"(batch={'polymorphic' if batch is None else batch}) to {out}")
 
 
 if __name__ == "__main__":

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import json
 import pathlib
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -54,17 +54,22 @@ def _unflatten_params(flat: Dict[str, np.ndarray]) -> dict:
 
 
 def export_captioner(model, params, ix2word: Dict[int, str],
-                     specials: Dict[str, int], batch_size: int,
+                     specials: Dict[str, int], batch_size: Optional[int],
                      out_dir: str, mode: str = "greedy",
                      beam_width: int = 3, max_beam_depth: int = 30,
                      beam_score_mode: str = "cumulative",
                      feats_dtype=jnp.float32) -> pathlib.Path:
-    """Export a fixed-shape captioner to ``out_dir``.
+    """Export a captioner to ``out_dir``.
 
     The exported function is ``fn(params, feats[batch_size, L, feat_dim])``
     returning greedy token ids [B, L-1] (mode='greedy') or the best-beam
     token matrix [B, max_beam_depth+1] (mode='beam', already sorted so row
     0 of the beam axis is taken inside the export).
+
+    ``batch_size=None`` exports a SHAPE-POLYMORPHIC artifact
+    (``jax.export`` symbolic batch dim): one artifact serves any batch
+    size, with the serving runtime lowering each new shape on first use —
+    the fixed-shape export compiles once and pads instead.
     """
     out = pathlib.Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -88,7 +93,11 @@ def export_captioner(model, params, ix2word: Dict[int, str],
     param_shapes = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), jnp.asarray(x).dtype),
         params)
-    feats_spec = jax.ShapeDtypeStruct((batch_size, L, F), feats_dtype)
+    if batch_size is None:
+        batch_dim, = jax.export.symbolic_shape("b")
+    else:
+        batch_dim = batch_size
+    feats_spec = jax.ShapeDtypeStruct((batch_dim, L, F), feats_dtype)
     exported = jax.export.export(jax.jit(fn))(param_shapes, feats_spec)
     (out / "decode.hlo").write_bytes(exported.serialize())
 
@@ -132,16 +141,18 @@ class ServingCaptioner:
         return np.asarray(self._exported.call(self.params, feats))
 
     def caption(self, feats: np.ndarray) -> List[str]:
-        """Caption up to ``batch_size`` clips; ragged input is zero-padded
-        to the exported batch shape (static shapes — XLA never re-traces)."""
+        """Caption a batch of clips. Fixed-shape artifacts zero-pad ragged
+        input to the exported batch (one compile serves everything);
+        polymorphic artifacts (batch_size null) take any batch as-is."""
         n = feats.shape[0]
-        if n > self.batch_size:
-            raise ValueError(f"batch {n} exceeds exported size "
-                             f"{self.batch_size}")
-        if n < self.batch_size:
-            pad = np.zeros((self.batch_size - n,) + feats.shape[1:],
-                           feats.dtype)
-            feats = np.concatenate([feats, pad], axis=0)
+        if self.batch_size is not None:
+            if n > self.batch_size:
+                raise ValueError(f"batch {n} exceeds exported size "
+                                 f"{self.batch_size}")
+            if n < self.batch_size:
+                pad = np.zeros((self.batch_size - n,) + feats.shape[1:],
+                               feats.dtype)
+                feats = np.concatenate([feats, pad], axis=0)
         toks = self.decode_tokens(
             feats.astype(self.manifest["feats_dtype"]))
         # a leading <sos> (always present on the beam path's slot 0,

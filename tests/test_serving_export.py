@@ -58,6 +58,22 @@ def test_ragged_batch_zero_padded(setup):
         srv.caption(np.zeros((B + 1, L, F), np.float32))
 
 
+def test_polymorphic_batch_export(setup):
+    """batch_size=None exports a symbolic-batch artifact serving any
+    batch without padding."""
+    model, params, feats, root = setup
+    out = export_captioner(model, params, IX2WORD, SPECIALS, None,
+                           root / "poly", mode="greedy")
+    srv = ServingCaptioner(out)
+    assert srv.batch_size is None
+    for n in (1, 3, B):
+        want = np.asarray(model.apply({"params": params}, feats[:n],
+                                      mode="test"))
+        np.testing.assert_array_equal(
+            srv.decode_tokens(np.asarray(feats[:n])), want)
+        assert len(srv.caption(np.asarray(feats[:n]))) == n
+
+
 def test_att_baseline_export(setup):
     """The attention baseline (dim_feat attribute) exports too."""
     from s2vt_tpu.models import AttBaseline
