@@ -98,7 +98,11 @@ def export_captioner(model, params, ix2word: Dict[int, str],
     else:
         batch_dim = batch_size
     feats_spec = jax.ShapeDtypeStruct((batch_dim, L, F), feats_dtype)
-    exported = jax.export.export(jax.jit(fn))(param_shapes, feats_spec)
+    # Multi-platform lowering: the artifact must replay wherever it is
+    # deployed (export on a CPU build host, serve on TPU), not just on
+    # the platform that happened to do the export.
+    exported = jax.export.export(
+        jax.jit(fn), platforms=("cpu", "tpu"))(param_shapes, feats_spec)
     (out / "decode.hlo").write_bytes(exported.serialize())
 
     np.savez(out / "params.npz", **_flatten_params(params))
