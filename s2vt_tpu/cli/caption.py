@@ -139,6 +139,29 @@ def main():
     args = ap.parse_args()
     if args.model_path is None and args.artifact is None:
         ap.error("one of --model_path / --artifact is required")
+    if args.artifact is not None:
+        # The artifact's baked-in decode governs: flags that try to change
+        # it are errors, not silent no-ops. (--compute_dtype stays legal —
+        # it configures the backbone extractor, which runs outside the
+        # artifact; the decode input is cast to the manifest's dtype.)
+        import pathlib
+        if args.model_path is not None:
+            ap.error("--artifact replaces --model_path; pass one, not both")
+        if args.caption_file is not None:
+            ap.error("--caption_file cannot apply with --artifact: the "
+                     "vocabulary is baked into the artifact manifest")
+        if args.early_stop:
+            ap.error("--early_stop cannot apply with --artifact: the decode "
+                     "loop is baked into the exported computation")
+        try:
+            manifest = json.loads(
+                (pathlib.Path(args.artifact) / "manifest.json").read_text())
+        except OSError as e:
+            ap.error(f"cannot read artifact manifest: {e}")
+        if args.beam and manifest.get("mode") != "beam":
+            ap.error(f"--beam cannot apply: artifact was exported with "
+                     f"mode={manifest.get('mode')!r} (re-export with "
+                     f"--mode beam, cli/export_serving.py)")
 
     if args.serve:
         captioner = ClipCaptioner(args.model_path, args.caption_file,
@@ -152,7 +175,8 @@ def main():
         ap.error("provide clip paths, or use --serve")
     captioner = ClipCaptioner(args.model_path, args.caption_file,
                               args.backbone, args.weights, args.beam,
-                              args.compute_dtype, artifact=args.artifact)
+                              args.compute_dtype, args.early_stop,
+                              artifact=args.artifact)
     print(json.dumps(captioner.caption(args.inputs), indent=1))
 
 

@@ -31,6 +31,13 @@ def main():
                          "beam scoring quirk (S2VTModel.py:221-223)")
     ap.add_argument("--meteor_jar", default=None,
                     help="optional meteor-1.5.jar for jar-exact METEOR")
+    ap.add_argument("--meteor_paraphrases", default=None,
+                    help="paraphrase-en.gz-format table for the lite "
+                         "METEOR's paraphrase stage (gz or plain text)")
+    ap.add_argument("--meteor_function_words", default=None,
+                    help="function-word list file (one word per line), e.g. "
+                         "the jar's function.words or one derived via "
+                         "metrics.meteor.derive_function_words")
     ap.add_argument("--dump_predictions", default=None,
                     help="write {video_id: caption} JSON here")
     args = ap.parse_args()
@@ -52,8 +59,14 @@ def main():
 
     with open(args.gts_file, encoding="utf-8") as f:
         gts = json.load(f)["gts"]
+    fw = None
+    if args.meteor_function_words:
+        with open(args.meteor_function_words, encoding="utf-8") as f:
+            fw = [w.strip() for w in f if w.strip()]
     scores = score_predictions(preds, gts, verbose=False,
-                               meteor_jar=args.meteor_jar)
+                               meteor_jar=args.meteor_jar,
+                               meteor_paraphrases=args.meteor_paraphrases,
+                               meteor_function_words=fw)
     for metric, value in scores.items():
         print(f"{metric}: {value:.4f}")
 

@@ -58,9 +58,13 @@ class COCOScorer:
     hypotheses, run the four metric families, collect corpus-level and
     per-image scores."""
 
-    def __init__(self, verbose: bool = True, meteor_jar: str = None):
+    def __init__(self, verbose: bool = True, meteor_jar: str = None,
+                 meteor_paraphrases: str = None,
+                 meteor_function_words=None):
         self.verbose = verbose
         self.meteor_jar = meteor_jar
+        self.meteor_paraphrases = meteor_paraphrases
+        self.meteor_function_words = meteor_function_words
         self.eval: Dict[str, float] = {}
         self.imgToEval: Dict[str, dict] = {}
 
@@ -76,7 +80,9 @@ class COCOScorer:
 
         scorers = [
             (Bleu(4), ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"]),
-            (Meteor(jar_path=self.meteor_jar), "METEOR"),
+            (Meteor(jar_path=self.meteor_jar,
+                    paraphrase_path=self.meteor_paraphrases,
+                    function_words=self.meteor_function_words), "METEOR"),
             (Rouge(), "ROUGE_L"),
             (Cider(), "CIDEr"),
         ]
@@ -103,10 +109,13 @@ class COCOScorer:
 
 
 def score_predictions(prediction_dict: Dict[str, str], gts: Dict[str, list],
-                      verbose: bool = True,
-                      meteor_jar: str = None) -> Dict[str, float]:
+                      verbose: bool = True, meteor_jar: str = None,
+                      meteor_paraphrases: str = None,
+                      meteor_function_words=None) -> Dict[str, float]:
     """One-call scoring: predictions + gts dict -> metric dict
     (the eval.py:222-235 main-block flow)."""
     samples, IDs = pred_to_coco_samples_IDs(prediction_dict, gts)
-    scorer = COCOScorer(verbose=verbose, meteor_jar=meteor_jar)
+    scorer = COCOScorer(verbose=verbose, meteor_jar=meteor_jar,
+                        meteor_paraphrases=meteor_paraphrases,
+                        meteor_function_words=meteor_function_words)
     return scorer.score(gts, samples, IDs)

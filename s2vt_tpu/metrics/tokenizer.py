@@ -33,6 +33,36 @@ PUNCTUATIONS = ["''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
                 ".", "?", "!", ",", ":", "-", "--", "...", ";"]
 _PUNCT_SET = set(PUNCTUATIONS)
 
+# Stanford's ptb3Escaping normalizes unicode punctuation BEFORE the rule
+# chain; nltk's TreebankWordTokenizer does not (measured: it leaves
+# '“oh' glued and 'don’t' unsplit). Reproduce the jar's
+# normalization as a pre-pass shared by every java-free backend:
+# directed double quotes -> ``/'' tokens, left single quote -> `,
+# right single quote -> ASCII apostrophe (so contractions split; a true
+# close-quote becomes a lone ' the strip list removes), en/em dash -> --,
+# ellipsis char -> ... .
+_UNICODE_NORMALIZE = [
+    # Directed double quotes -> ASCII '"': the PTB rule chain then emits
+    # `` or '' by position exactly as the jar does (padding them here
+    # instead would trip nltk's preceded-by-space `` rule on close quotes).
+    ("“", '"'), ("”", '"'), ("„", '"'), ("«", '"'), ("»", '"'),
+    ("‘", " ` "), ("‚", " ` "),                         # ‘ ‚
+    ("’", "'"),                                              # ’
+    ("–", " -- "), ("—", " -- "),                       # – —
+    ("…", " ... "),                                          # …
+]
+
+# Sentence-final abbreviations: the Penn Treebank convention (which the
+# Stanford PTBLexer replicates) keeps the abbreviation's own period AND
+# emits a separate sentence-final period ("u.s." -> "u.s." "."); nltk
+# instead strips the period into the final token ("u.s" "."). Patched in
+# a post-pass: letter-dot acronyms by pattern, common title/corp
+# abbreviations by list.
+_ACRONYM = re.compile(r"^(?:[a-z]\.)+[a-z]$")
+_ABBREVIATIONS = frozenset(
+    "dr mr mrs ms prof etc jr sr vs inc ltd co corp st mt dept univ "
+    "approx capt gen lt sgt col maj rev hon pres gov sen rep".split())
+
 
 def _regex_ptb_tokenize(text: str) -> List[str]:
     """Minimal PTB-style tokenizer used only when nltk is absent."""
@@ -41,6 +71,17 @@ def _regex_ptb_tokenize(text: str) -> List[str]:
     text = re.sub(r"\)", " -RRB- ", text)
     text = re.sub(r"([^' ])('s|'m|'d|'ll|'re|'ve|n't)\b", r"\1 \2", text)
     return text.split()
+
+
+def _restore_final_abbreviation(toks: List[str]) -> List[str]:
+    """Rejoin the period nltk strips off a sentence-final abbreviation
+    ('u.s' '.' -> 'u.s.' '.'), keeping the separate final period token per
+    the PTB/Stanford convention (see _ABBREVIATIONS above)."""
+    if len(toks) >= 2 and toks[-1] == ".":
+        prev = toks[-2]
+        if _ACRONYM.match(prev) or prev in _ABBREVIATIONS:
+            toks = toks[:-2] + [prev + ".", "."]
+    return toks
 
 
 class _NativePTB:
@@ -91,13 +132,18 @@ class PTBTokenizer:
 
     def _tokenize_line(self, line: str) -> List[str]:
         line = line.replace("\n", " ").lower()
+        for src, dst in _UNICODE_NORMALIZE:
+            if src in line:
+                line = line.replace(src, dst)
         if self.backend == "nltk":
             # convert_parentheses=True emits -LRB-/-RRB- like the Stanford
             # jar, which the PUNCTUATIONS strip list then removes.
-            return self._tok.tokenize(line, convert_parentheses=True)
-        if self.backend == "native":
-            return self._tok.tokenize(line)
-        return _regex_ptb_tokenize(line)
+            toks = self._tok.tokenize(line, convert_parentheses=True)
+        elif self.backend == "native":
+            toks = self._tok.tokenize(line)
+        else:
+            toks = _regex_ptb_tokenize(line)
+        return _restore_final_abbreviation(toks)
 
     def tokenize(self, captions_for_image: Dict) -> Dict[str, List[str]]:
         if self.backend == "stanford":

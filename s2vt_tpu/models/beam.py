@@ -41,6 +41,13 @@ def _topk_small(x: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
     V=10240 — ~17 ms per decode step). For tiny k, k passes of argmax+mask
     read the matrix k times instead, and select the same elements in the
     same order (argmax and top_k both break ties toward the lower index).
+
+    Precondition: every entry of ``x`` must be strictly greater than -inf.
+    Selected entries are masked with -inf (strictly below any input, NEG_INF
+    included), so the k returned indices are distinct like ``lax.top_k``'s;
+    a literal -inf input would tie with the mask sentinel and could be
+    reported twice. Beam candidates satisfy this (dead slots use the finite
+    NEG_INF, log-softmax outputs are finite for finite logits).
     """
     B, N = x.shape
     cols = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
@@ -50,7 +57,7 @@ def _topk_small(x: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
         i = jnp.argmax(cur, axis=1).astype(jnp.int32)
         vals.append(jnp.take_along_axis(cur, i[:, None], axis=1)[:, 0])
         idxs.append(i)
-        cur = jnp.where(cols == i[:, None], NEG_INF, cur)
+        cur = jnp.where(cols == i[:, None], -jnp.inf, cur)
     return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1)
 
 

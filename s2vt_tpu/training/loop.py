@@ -252,10 +252,32 @@ class Trainer:
         def _on_sigterm(signum, frame):
             self._stop_requested = True
 
+        # signal.signal returns None both when no Python handler was set
+        # and when the prior handler was installed from C, so a separate
+        # ``registered`` flag (not prev_handler's None-ness) decides whether
+        # to restore — and restoration happens only AFTER the final
+        # checkpoint below, so a late SIGTERM during that save still hits
+        # our no-op handler instead of killing the process mid-write.
+        registered, prev_handler = False, None
         try:
             prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+            registered = True
         except ValueError:            # not in the main thread
-            prev_handler = None
+            pass
+        try:
+            self._fit_epochs(epochs, on_epoch_end)
+            self.save("final")
+        finally:
+            if registered:
+                signal.signal(signal.SIGTERM,
+                              prev_handler if prev_handler is not None
+                              else signal.SIG_DFL)
+        if self.writer is not None:
+            self.writer.flush()
+        return self.history
+
+    def _fit_epochs(self, epochs: int, on_epoch_end: Optional[Callable]) -> None:
+        opt = self.opt
         try:
             for epoch in range(epochs):
                 if opt.profile and epoch == 0:
@@ -289,13 +311,6 @@ class Trainer:
         except KeyboardInterrupt:
             if self.writer is not None:
                 self.writer.flush()
-        finally:
-            if prev_handler is not None:
-                signal.signal(signal.SIGTERM, prev_handler)
-        self.save("final")
-        if self.writer is not None:
-            self.writer.flush()
-        return self.history
 
     def _log_epoch(self, epoch, train_loss, valid_loss, lr):
         if self.writer is None:

@@ -1,16 +1,21 @@
 """METEOR 1.5 lite-backend fidelity: the chunk-minimizing beam aligner is
 verified against a brute-force oracle implementing the jar's resolution
-order (max word coverage, then min chunks, then min total |i-j| distance)
+order (max word coverage, then min chunks, then min total start distance)
 on adversarial fixtures — reordered words, repeated tokens, stem-only
-matches — and the delta function-word discount is checked by construction
-(VERDICT r1 item 3)."""
+matches — the delta function-word discount is checked by construction
+(VERDICT r1 item 3), and the PARAPHRASE stage (VERDICT r2 missing #2) is
+exercised end-to-end against a synthetic paraphrase-en.gz-format table
+with hand-computed score oracles."""
 
+import gzip
 import itertools
 
 import pytest
 
 from s2vt_tpu.metrics.meteor import (ALPHA, BETA, DELTA, FUNCTION_WORDS,
-                                     GAMMA, Meteor, _Aligner, _word_weight)
+                                     GAMMA, STAGE_WEIGHTS, Meteor, _Aligner,
+                                     ParaphraseTable, _word_weight,
+                                     derive_function_words)
 
 
 @pytest.fixture(scope="module")
@@ -18,9 +23,16 @@ def aligner():
     return _Aligner()
 
 
+def _key(matches):
+    """The jar's resolution key for a match set: (-coverage, chunks, dist)."""
+    return (-sum(li + lj for _, li, _, lj, _ in matches),
+            _Aligner.count_chunks(matches),
+            sum(abs(i - j) for i, _, j, _, _ in matches))
+
+
 def oracle_align(aligner, hyp, ref):
-    """Exhaustive search over all 1-1 alignments using the same match
-    matrix, ranked by the jar's order. Only viable for tiny segments."""
+    """Exhaustive search over all 1-1 unigram alignments using the same
+    match matrix, ranked by the jar's order. Only viable for tiny segments."""
     n, m = len(hyp), len(ref)
     poss = [[aligner.match_stage(hw, rw) for rw in ref] for hw in hyp]
     best_key, best = None, []
@@ -31,11 +43,9 @@ def oracle_align(aligner, hyp, ref):
         used = [j for j in assign if j >= 0]
         if len(set(used)) != len(used):
             continue  # not 1-1
-        pairs = [(i, j, poss[i][j]) for i, j in enumerate(assign) if j >= 0]
-        matches = len(pairs)
-        chunks = _Aligner.count_chunks(pairs)
-        dist = sum(abs(i - j) for i, j, _ in pairs)
-        key = (-matches, chunks, dist)
+        pairs = [(i, 1, j, 1, poss[i][j])
+                 for i, j in enumerate(assign) if j >= 0]
+        key = _key(pairs)
         if best_key is None or key < best_key:
             best_key, best = key, pairs
     return best_key, best
@@ -59,13 +69,11 @@ CASES = [
 def test_beam_matches_oracle(aligner, hyp, ref):
     hw, rw = hyp.split(), ref.split()
     got = aligner.align(hw, rw)
-    got_key = (-len(got), _Aligner.count_chunks(got),
-               sum(abs(i - j) for i, j, _ in got))
     want_key, _ = oracle_align(aligner, hw, rw)
     if want_key is None:
         assert got == []
     else:
-        assert got_key == want_key, f"beam {got_key} vs oracle {want_key}"
+        assert _key(got) == want_key, f"beam {_key(got)} vs oracle {want_key}"
 
 
 def test_chunk_minimization_beats_greedy(aligner):
@@ -129,3 +137,144 @@ def test_synonym_stage_weighted():
     _, per_exact = m.compute_score({"x": ["a big dog"]},
                                    {"x": ["a big dog"]})
     assert 0.0 < per_syn[0] < per_exact[0]
+
+
+# ----------------------------------------------------------------------
+# paraphrase stage (synthetic table; the real paraphrase-en.gz is a data
+# blob — the stage logic is what these tests pin down)
+# ----------------------------------------------------------------------
+
+TABLE_LINES = [
+    "zorp ||| blick",                 # unigram pair, unknown to WordNet
+    "large canine ||| big dog",       # 2x2 phrase pair
+    "zorp glim ||| blick",            # 2x1 phrase pair
+    "0.87 ||| frob ||| wug",          # PPDB-style leading weight field
+    "the ||| the",                    # exact pair also in table
+    "",                               # blank line tolerated
+    "malformed-line-no-separator",
+]
+
+
+@pytest.fixture(scope="module")
+def table(tmp_path_factory):
+    root = tmp_path_factory.mktemp("paraphrase")
+    gz = root / "paraphrase-en.gz"
+    with gzip.open(gz, "wt", encoding="utf-8") as f:
+        f.write("\n".join(TABLE_LINES) + "\n")
+    return ParaphraseTable(str(gz))
+
+
+def test_table_parsing(table):
+    assert table.contains(("zorp",), ("blick",))
+    assert table.contains(("blick",), ("zorp",))          # symmetric
+    assert table.contains(("large", "canine"), ("big", "dog"))
+    assert table.contains(("frob",), ("wug",))            # weight stripped
+    assert not table.contains(("zorp",), ("wug",))
+    assert table.max_len == 2
+
+
+def test_plaintext_table(tmp_path):
+    p = tmp_path / "para.txt"
+    p.write_text("abc ||| xyz\n")
+    t = ParaphraseTable(str(p))
+    assert t.contains(("abc",), ("xyz",))
+
+
+def test_paraphrase_unigram_match(table):
+    al = _Aligner(paraphrases=table)
+    got = al.align("the zorp".split(), "the blick".split())
+    assert (0, 1, 0, 1, 0) in got            # 'the' exact
+    assert (1, 1, 1, 1, 3) in got            # zorp~blick at stage 3
+
+
+def test_paraphrase_earliest_stage_marking(table):
+    """An exact pair that also appears in the table keeps stage 0."""
+    al = _Aligner(paraphrases=table)
+    got = al.align(["the"], ["the"])
+    assert got == [(0, 1, 0, 1, 0)]
+
+
+def test_paraphrase_phrase_match(table):
+    al = _Aligner(paraphrases=table)
+    got = al.align("a large canine runs".split(), "a big dog runs".split())
+    assert (1, 2, 1, 2, 3) in got            # the 2x2 phrase span
+    assert _Aligner.count_chunks(got) == 1   # a + [large canine] + runs
+
+
+def test_paraphrase_hand_computed_score(table):
+    """hyp 'the zorp' vs ref 'the blick': 'the' exact + zorp~blick
+    paraphrase (stage weight 0.6), contiguous -> 1 chunk, 2 matches."""
+    m = Meteor(backend="lite")
+    m.aligner = _Aligner(paraphrases=table)
+    _, per = m.compute_score({"x": ["the blick"]}, {"x": ["the zorp"]})
+    d = DELTA
+    wp = STAGE_WEIGHTS[3]
+    p = (1.0 * (1 - d) + wp * d) / ((1 - d) + d)
+    fmean = p * p / (ALPHA * p + (1 - ALPHA) * p)
+    pen = GAMMA * (1 / 2) ** BETA
+    assert per[0] == pytest.approx((1 - pen) * fmean, abs=1e-9)
+
+
+def test_paraphrase_unequal_span_stats(table):
+    """2x1 span: matches_h=3 (a + zorp glim), matches_r=2 (a + blick);
+    frag uses the average, per MeteorStats."""
+    m = Meteor(backend="lite")
+    m.aligner = _Aligner(paraphrases=table)
+    _, per = m.compute_score({"x": ["a blick"]}, {"x": ["a zorp glim"]})
+    d, wp = DELTA, STAGE_WEIGHTS[3]
+    wh = 1.0 * (1 - d) + wp * (d + d)
+    wlh = (1 - d) + 2 * d
+    wr = 1.0 * (1 - d) + wp * d
+    wlr = (1 - d) + d
+    p, r = wh / wlh, wr / wlr
+    fmean = p * r / (ALPHA * p + (1 - ALPHA) * r)
+    pen = GAMMA * (1 / 2.5) ** BETA          # 1 chunk / avg (3+2)/2 matches
+    assert per[0] == pytest.approx((1 - pen) * fmean, abs=1e-9)
+
+
+def test_paraphrase_only_adds_score(table):
+    """Scores with the table are >= without it on every fixture (the stage
+    only adds matches)."""
+    hyps = {"a": ["the zorp ran"], "b": ["a large canine runs"],
+            "c": ["nothing shared here"]}
+    refs = {"a": ["the blick ran"], "b": ["a big dog runs"],
+            "c": ["completely different words"]}
+    plain = Meteor(backend="lite")
+    para = Meteor(backend="lite")
+    para.aligner = _Aligner(paraphrases=table)
+    _, s0 = plain.compute_score(refs, hyps)
+    _, s1 = para.compute_score(refs, hyps)
+    assert all(b >= a for a, b in zip(s0, s1))
+    assert s1[0] > s0[0] and s1[1] > s0[1]
+
+
+def test_meteor_ctor_paraphrase_path(tmp_path):
+    p = tmp_path / "t.txt"
+    p.write_text("zorp ||| blick\n")
+    m = Meteor(backend="lite", paraphrase_path=str(p))
+    _, per = m.compute_score({"x": ["blick"]}, {"x": ["zorp"]})
+    assert per[0] > 0.0
+
+
+# ----------------------------------------------------------------------
+# derived function words (the jar's frequency > 1e-3 rule)
+# ----------------------------------------------------------------------
+
+def test_derive_function_words():
+    corpus = ["the cat sat on the mat"] * 500 + ["a rare ocelot appeared"]
+    fw = derive_function_words(corpus, threshold=1e-3)
+    assert "the" in fw and "cat" in fw       # everything frequent qualifies
+    assert "ocelot" not in fw                # 1/3004 < 1e-3
+    assert derive_function_words([]) == frozenset()
+
+
+def test_meteor_custom_function_words():
+    """A supplied function-word set replaces the built-in list: making
+    'cat' a function word changes the score of a cat-matching pair."""
+    base = Meteor(backend="lite")
+    custom = Meteor(backend="lite", function_words=["cat", "the"])
+    gts = {"x": ["the cat sat"]}
+    res = {"x": ["the cat ran"]}
+    _, s_base = base.compute_score(gts, res)
+    _, s_custom = custom.compute_score(gts, res)
+    assert s_base[0] != s_custom[0]

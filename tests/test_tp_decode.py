@@ -1,0 +1,89 @@
+"""Decode under vocab tensor parallelism (VERDICT r2 missing #4).
+
+Training supports dp x tp with the embedding / out-projection sharded on
+the vocab dim (parallel/mesh.py _VOCAB_SHARDED, tests/test_training.py).
+A TP-trained checkpoint must therefore CAPTION correctly from those same
+sharded params — greedy and beam, token-identical to the replicated
+model, with no manual gather step. ``CaptionDecoder(mesh=...)`` is the
+supported path: it places the params per the mesh layout and shards each
+batch's leading dim over 'data'; XLA inserts the vocab-axis collectives
+(the argmax/top-k over the sharded logits) itself.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from s2vt_tpu.data.dataset import make_synthetic_corpus, VideoDataset
+from s2vt_tpu.evaluation.decode import CaptionDecoder
+from s2vt_tpu.models import S2VT
+from s2vt_tpu.parallel import make_mesh
+from s2vt_tpu.parallel import mesh as mesh_lib
+
+L, D = 8, 12
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tp_decode")
+    meta = make_synthetic_corpus(root, n_videos=10, vocab_extra=27,
+                                 feat_len=L, feat_dim=D, seed=7)
+    ds = VideoDataset(meta["captions_file"], meta["feat_path"],
+                      max_len=L, mode="test")
+    vocab = mesh_lib.pad_to_multiple(ds.vocab_size, 8)
+    model = S2VT(vocab_size=vocab, feat_dim=D, length=L, dim_hid=16,
+                 dim_embed=16, sos_ix=ds.specials["sos_ix"],
+                 eos_ix=ds.specials["eos_ix"], valid_vocab=ds.vocab_size)
+    feats0 = jnp.zeros((2, L, D), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), feats0, mode="test")["params"]
+    params = jax.tree_util.tree_map(np.asarray, params)
+    return model, params, ds
+
+
+def _sharded_decoder(model, params, ds, **kw):
+    mesh = make_mesh((4, 2))
+    dec = CaptionDecoder(model, params, ds, mesh=mesh, **kw)
+    # the vocab-dim leaves must actually be sharded over 'model' — decode
+    # from TP params, not from a silent replication fallback
+    emb = dec.params["embedding"]["weight"]
+    assert emb.sharding.spec[0] == "model"
+    out_w = dec.params["out_linear"]["weight"]
+    assert out_w.sharding.spec[0] == "model"
+    return dec
+
+
+def test_greedy_tp_token_identical(setup):
+    model, params, ds = setup
+    plain = CaptionDecoder(model, params, ds).greedy(batch_size=4)
+    tp = _sharded_decoder(model, params, ds).greedy(batch_size=4)
+    assert plain and tp == plain
+
+
+def test_beam_tp_token_identical(setup):
+    model, params, ds = setup
+    plain = CaptionDecoder(model, params, ds).beam(batch_size=4)
+    tp = _sharded_decoder(model, params, ds).beam(batch_size=4)
+    assert plain and tp == plain
+
+
+def test_beam_tp_scores_match(setup):
+    """Beyond the argmaxed captions: the beam's normalized scores (a full
+    log-softmax over the sharded vocab axis) must match the replicated
+    run's to float tolerance."""
+    model, params, ds = setup
+    batch = next(ds.batches(4, shuffle=False))
+    res_plain = model.apply({"params": params}, batch.feats,
+                            mode="beam_search", beam_width=3,
+                            max_beam_depth=6)
+    mesh = make_mesh((4, 2))
+    p = jax.device_put(params, mesh_lib.param_shardings(mesh, params))
+    f = jax.device_put(batch.feats, mesh_lib.batch_sharding(mesh))
+    res_tp = jax.jit(lambda p, f: model.apply(
+        {"params": p}, f, mode="beam_search", beam_width=3,
+        max_beam_depth=6))(p, f)
+    np.testing.assert_array_equal(np.asarray(res_tp.tokens),
+                                  np.asarray(res_plain.tokens))
+    np.testing.assert_allclose(np.asarray(res_tp.scores),
+                               np.asarray(res_plain.scores),
+                               rtol=1e-5, atol=1e-6)
