@@ -289,6 +289,57 @@ def bench_conv_ab(iters: int = 10) -> dict:
     return out
 
 
+def bench_att_decoder_ab(iters: int = 20) -> dict:
+    """Fused Pallas attention-decoder loop vs the lax.scan path (the
+    VERDICT r2 stretch A/B): identical inputs, forward decode loop only
+    (T=79 steps, L=80 encoder positions), f32 and bf16, B=16 and B=32.
+    Decides whether models/attention.py routes the decoder through the
+    kernel — measure first, wire only on a win (the pallas_conv /
+    pallas_decode discipline)."""
+    import jax
+    import jax.numpy as jnp
+
+    from s2vt_tpu.ops.pallas_att_decode import (att_decode_sequence_pallas,
+                                                att_decode_sequence_scan)
+
+    from functools import partial
+
+    T, H_, L_ = L - 1, H, L
+    out = {}
+    for B in (16, 32):
+        ks = jax.random.split(jax.random.PRNGKey(0), 9)
+        sc = 0.1
+        args = (
+            jax.jit(lambda k: jax.random.normal(k, (T, B, 4 * H_)) * sc)(ks[0]),
+            jax.jit(lambda k: jax.random.normal(k, (2 * H_, 4 * H_)) * sc)(ks[1]),
+            jax.jit(lambda k: jax.random.normal(k, (H_, 4 * H_)) * sc)(ks[2]),
+            jax.jit(lambda k: jax.random.normal(k, (H_, H_)) * sc)(ks[3]),
+            jax.jit(lambda k: jax.random.normal(k, (H_,)) * sc)(ks[4]),
+            jax.jit(lambda k: jax.random.normal(k, (H_,)) * sc)(ks[5]),
+            jax.jit(lambda k: jax.random.normal(k, (B, L_, H_)) * sc)(ks[6]),
+            jax.jit(lambda k: jax.random.normal(k, (B, L_, 2 * H_)) * sc)(ks[7]),
+            jax.jit(lambda k: jax.random.normal(k, (B, 2 * H_)) * sc)(ks[8]),
+        )
+        for dname, dt in (("f32", None), ("bf16", jnp.bfloat16)):
+            for name, fn in (("pallas", att_decode_sequence_pallas),
+                             ("scan", att_decode_sequence_scan)):
+                @partial(jax.jit, static_argnums=1)
+                def many(a, n, fn=fn, dt=dt):
+                    def body(salt, _):
+                        hs = fn(a[0] + salt, *a[1:], compute_dtype=dt)
+                        s = jnp.sum(hs).astype(jnp.float32)
+                        return s * 1e-9, s
+                    _, ss = jax.lax.scan(body, jnp.float32(0.0), None,
+                                         length=n)
+                    return ss
+                _ = np.asarray(many(args, iters))
+                t0 = time.perf_counter()
+                _ = np.asarray(many(args, iters))
+                out[f"att_decode_b{B}_{dname}_{name}_ms"] = round(
+                    (time.perf_counter() - t0) / iters * 1e3, 2)
+    return out
+
+
 def train_matmul_flops(batch: int) -> float:
     """Analytic matmul FLOPs of one S2VT teacher-forced train step
     (fwd + bwd ~= 3x fwd for matmul-dominated nets)."""
@@ -442,19 +493,180 @@ def bench_torch_extract(iters: int) -> float:
     return iters / (dt * L / n_frames)
 
 
-def _stage(name):
-    """Context manager printing per-stage wall time to stderr (stdout is
-    reserved for the one-JSON-line contract)."""
-    import contextlib
-    import sys
+def _msvd_scale_root():
+    """Synthetic MSVD-scale on-disk dataset (built once, cached): 1,970
+    clips of [80, 4096] float32 .npy split 1400/450/120, ~10.4k vocab —
+    the reference's training workload shape (SURVEY.md §6). ~2.4 GB."""
+    import pathlib
+    import shutil
 
-    @contextlib.contextmanager
-    def cm():
+    root = pathlib.Path.home() / ".cache" / "s2vt_tpu" / "e2e_msvd"
+    feats = root / "feats"
+    if not ((root / "captions.json").exists()
+            and len(list(feats.glob("*.npy"))) == 1970):
+        shutil.rmtree(root, ignore_errors=True)
+        from s2vt_tpu.data.dataset import make_synthetic_corpus
+        make_synthetic_corpus(str(root), n_videos=1970, vocab_extra=11000,
+                              feat_len=L, feat_dim=FEAT,
+                              max_caption_words=15, seed=0,
+                              splits=(0.7107, 0.2285))
+    return root
+
+
+def bench_train_e2e(epochs: int, batch: int, tag: str, **overrides) -> dict:
+    """The full Trainer.fit loop on the real chip over the on-disk
+    MSVD-scale dataset: C++ feature loader -> fixed-shape host batches ->
+    prefetch_to_device double buffering -> donated-state jitted step ->
+    per-epoch validation (+ epoch-0 and final orbax checkpoints). This is
+    the reference's actual workload (train.py:108-163) measured end to
+    end, not an isolated device step.
+
+    Reports the first (compile-inclusive) epoch, the median steady-state
+    epoch wall-clock (train + valid + logging), and the train-phase
+    clips/sec the Trainer itself logs.
+    """
+    import shutil
+    import statistics
+    import tempfile
+
+    from s2vt_tpu.config import Opt
+    from s2vt_tpu.training.loop import Trainer
+
+    root = _msvd_scale_root()
+    tmp = tempfile.mkdtemp(prefix="s2vt_e2e_")
+    opt = Opt(caption_file=str(root / "captions.json"),
+              feats_path=str(root / "feats"),
+              gts_file=str(root / "gts.json"),
+              batch_size=batch, save_path=tmp, log_dir=tmp,
+              metric_eval_freq=0, **overrides)
+    try:
+        t_setup = time.perf_counter()
+        tr = Trainer(opt, writer=None)
+        setup_s = time.perf_counter() - t_setup
+        marks = [time.perf_counter()]
+        tr.fit(epochs=epochs,
+               on_epoch_end=lambda t, e: marks.append(time.perf_counter()))
+        epoch_s = [b - a for a, b in zip(marks, marks[1:])]
+        cps = tr.history["clips_per_sec"]
+        loss = tr.history["train_loss"]
+        out = {
+            # init + param/opt placement + (bank mode) the one-time
+            # feature upload — paid once per job, not per epoch
+            f"train_e2e_setup_s_{tag}": round(setup_s, 2),
+            f"train_e2e_first_epoch_s_{tag}": round(epoch_s[0], 2),
+            f"train_e2e_loader_backend_{tag}": tr.train_ds.backend,
+            f"train_e2e_feature_bank_{tag}": tr.use_feature_bank,
+        }
+        if len(epoch_s) > 1:
+            out[f"train_e2e_epoch_s_{tag}"] = round(
+                statistics.median(epoch_s[1:]), 2)
+            out[f"train_e2e_clips_per_sec_{tag}"] = round(
+                statistics.median(cps[1:]), 1)
+        if len(loss) > 1:
+            # loss must go DOWN on-device for the run to count as training
+            out[f"train_e2e_loss_first_last_{tag}"] = [
+                round(loss[0], 3), round(loss[-1], 3)]
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_serving(batch: int, iters: int) -> dict:
+    """Serving-artifact replay vs the in-process jit path, same model and
+    batch, per-request sync both sides (the serving access pattern). The
+    artifact path must be provably not-slower than jit — the whole point
+    of shipping StableHLO (serving/export.py) over the reference's
+    torch.load (eval.py:41)."""
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from s2vt_tpu.models.s2vt import S2VT
+    from s2vt_tpu.serving import ServingCaptioner
+    from s2vt_tpu.serving.export import export_captioner
+
+    model = S2VT(vocab_size=VOCAB, feat_dim=FEAT, length=L, dim_hid=H,
+                 dim_embed=E, sos_ix=SOS, eos_ix=4,
+                 compute_dtype=jnp.bfloat16, use_pallas=True)
+    feats = np.asarray(jax.jit(
+        lambda k: jax.random.normal(k, (batch, L, FEAT)))(
+            jax.random.PRNGKey(1)))
+    params = model.init(jax.random.PRNGKey(0), feats, mode="test")["params"]
+
+    out_dir = tempfile.mkdtemp(prefix="s2vt_serving_bench_")
+    try:
+        ix2word = {i: f"w{i}" for i in range(VOCAB)}
+        specials = {"pad_ix": 0, "unk_ix": 1, "sos_ix": SOS, "eos_ix": 4}
+        export_captioner(model, params, ix2word, specials, batch, out_dir,
+                         mode="greedy")
+        sc = ServingCaptioner(out_dir)
+
+        sc.decode_tokens(feats)                    # compile
         t0 = time.perf_counter()
-        yield
-        print(f"[bench] {name}: {time.perf_counter() - t0:.1f}s",
-              file=sys.stderr, flush=True)
-    return cm()
+        for _ in range(iters):
+            toks_art = sc.decode_tokens(feats)     # np.asarray = sync
+        art = batch * iters / (time.perf_counter() - t0)
+
+        jit_fn = jax.jit(lambda p, f: model.apply({"params": p}, f,
+                                                  mode="test"))
+        np.asarray(jit_fn(params, feats))          # compile
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            toks_jit = np.asarray(jit_fn(params, feats))
+        jit = batch * iters / (time.perf_counter() - t0)
+
+        assert (toks_art == toks_jit).all(), "artifact decode diverged"
+        return {
+            f"serving_artifact_clips_per_sec_b{batch}": round(art, 2),
+            f"serving_jit_clips_per_sec_b{batch}": round(jit, 2),
+            f"serving_artifact_vs_jit_b{batch}": round(art / jit, 3),
+        }
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def _run_stage(name, fn, *args, timeout_s: float = 600.0, retries: int = 1,
+               **kw):
+    """Run one bench stage with a wall-clock timeout and retry.
+
+    The axon tunnel occasionally stalls fetching device values (CLAUDE.md);
+    r2's decode stage burned 18 minutes on exactly that. The stage runs in
+    a daemon thread; on timeout the thread is abandoned (the bench process
+    exits at the end anyway) and the stage retried once, then skipped —
+    one wedged stage can no longer eat the artifact run. Returns the
+    stage's value, or None if every attempt timed out / raised."""
+    import sys
+    import threading
+
+    for attempt in range(retries + 1):
+        result = {}
+
+        def work():
+            try:
+                result["value"] = fn(*args, **kw)
+            except BaseException as e:   # noqa: BLE001 — recorded, not hidden
+                result["error"] = e
+
+        t = threading.Thread(target=work, daemon=True, name=f"bench-{name}")
+        t0 = time.perf_counter()
+        t.start()
+        t.join(timeout_s)
+        dt = time.perf_counter() - t0
+        if t.is_alive():
+            print(f"[bench] {name}: TIMEOUT after {dt:.0f}s "
+                  f"(attempt {attempt + 1}/{retries + 1})",
+                  file=sys.stderr, flush=True)
+            continue
+        if "error" in result:
+            print(f"[bench] {name}: ERROR {result['error']!r} "
+                  f"(attempt {attempt + 1}/{retries + 1})",
+                  file=sys.stderr, flush=True)
+            continue
+        print(f"[bench] {name}: {dt:.1f}s", file=sys.stderr, flush=True)
+        return result.get("value")
+    return None
 
 
 def main():
@@ -476,88 +688,152 @@ def main():
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--conv-ab", action="store_true",
                     help="also run the pallas-vs-XLA conv A/B (10 jits)")
+    ap.add_argument("--att-ab", action="store_true",
+                    help="also run the fused-vs-scan attention-decoder A/B")
     ap.add_argument("--skip-extract", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--skip-train-e2e", action="store_true",
+                    help="skip the end-to-end Trainer.fit epochs over the "
+                         "on-disk MSVD-scale dataset")
+    ap.add_argument("--train-e2e-epochs", type=int, default=4)
+    ap.add_argument("--skip-serving", action="store_true")
+    ap.add_argument("--serving-iters", type=int, default=20)
+    ap.add_argument("--stage-timeout", type=float, default=900.0,
+                    help="per-stage wall-clock timeout (cold compiles "
+                         "through the tunnel cost 40-250s each)")
     args = ap.parse_args()
 
     extra = {}
+    T = args.stage_timeout
 
-    with _stage("decode"):
-        ours = bench_jax(args.batch, args.iters)
+    def stage(name, key, fn, *a, scale=1.0, timeout_s=None, **kw):
+        v = _run_stage(name, fn, *a, timeout_s=timeout_s or T, **kw)
+        if v is None:
+            extra[f"{key}_skipped"] = "stage timed out or raised"
+            return None
+        if isinstance(v, dict):
+            extra.update(v)
+        else:
+            extra[key] = round(v * scale, 2) if scale != 1.0 else round(v, 2)
+        return v
+
+    ours = _run_stage("decode", bench_jax, args.batch, args.iters,
+                      timeout_s=T)
     extra["decode_batch"] = args.batch
-    with _stage("decode b10 like-for-like"):
-        # the reference's own eval batch (eval.py:27) — the apples-to-
-        # apples ratio against the torch baseline below, which also runs
-        # at B=10; the headline number above is the throughput-serving
-        # batch.
-        extra["decode_clips_per_sec_b10"] = round(
-            bench_jax(args.baseline_batch, args.iters * 4), 2)
-    with _stage("decode early-stop bound"):
-        extra["decode_early_stop_bound_clips_per_sec"] = round(
-            bench_jax_early_stop_bound(args.batch, args.iters), 2)
+    # the reference's own eval batch (eval.py:27) — the apples-to-apples
+    # ratio against the torch baseline below, which also runs at B=10;
+    # the headline number above is the throughput-serving batch.
+    stage("decode b10 like-for-like", "decode_clips_per_sec_b10",
+          bench_jax, args.baseline_batch, args.iters * 4)
+    stage("decode early-stop bound",
+          "decode_early_stop_bound_clips_per_sec",
+          bench_jax_early_stop_bound, args.batch, args.iters)
 
     if not args.skip_beam:
-        with _stage("beam decode"):
-            extra["beam_clips_per_sec"] = round(
-                bench_jax_beam(args.beam_batch, args.beam_iters), 2)
+        stage("beam decode", "beam_clips_per_sec",
+              bench_jax_beam, args.beam_batch, args.beam_iters)
         extra["beam_batch"] = args.beam_batch
+        stage("beam b10 like-for-like", "beam_clips_per_sec_b10",
+              bench_jax_beam, args.baseline_batch, args.beam_iters * 2)
 
     if not args.skip_extract:
-        with _stage("extract"):
-            ex = bench_extract(args.extract_iters)
-        extra["extract_clips_per_sec"] = round(ex, 2)
-        with _stage("extract batch4"):
-            ex4 = bench_extract(max(args.extract_iters // 4, 2), n_clips=4)
-        extra["extract_clips_per_sec_batch4"] = round(ex4, 2)
-        with _stage("extract torch-cpu baseline"):
-            ex_torch = bench_torch_extract(1)
-        extra["extract_torch_cpu_clips_per_sec"] = round(ex_torch, 3)
-        extra["extract_vs_torch_cpu"] = round(ex / ex_torch, 1)
+        ex = stage("extract", "extract_clips_per_sec",
+                   bench_extract, args.extract_iters)
+        stage("extract batch4", "extract_clips_per_sec_batch4",
+              bench_extract, max(args.extract_iters // 4, 2), n_clips=4)
+        ex_torch = _run_stage("extract torch-cpu baseline",
+                              bench_torch_extract, 1, timeout_s=T)
+        if ex_torch is not None:
+            extra["extract_torch_cpu_clips_per_sec"] = round(ex_torch, 3)
+            if ex is not None:
+                extra["extract_vs_torch_cpu"] = round(ex / ex_torch, 1)
 
     if not args.skip_train:
         for b in (16, 64):
-            with _stage(f"train b{b} pallas"):
-                on = bench_train_step(b, True, args.train_iters)
-            with _stage(f"train b{b} scan"):
-                off = bench_train_step(b, False, args.train_iters)
-            extra[f"train_step_ms_b{b}_pallas"] = round(on, 2)
-            extra[f"train_step_ms_b{b}_scan"] = round(off, 2)
-        best64 = min(extra["train_step_ms_b64_pallas"],
-                     extra["train_step_ms_b64_scan"])
-        extra["train_mfu_b64"] = round(
-            train_matmul_flops(64) / (best64 * 1e-3) / V5E_BF16_PEAK, 4)
-        with _stage("train att_baseline"):
-            extra["train_step_ms_b16_att_baseline"] = round(
-                bench_train_step(16, False, args.train_iters,
-                                 arch="att_baseline"), 2)
+            stage(f"train b{b} pallas", f"train_step_ms_b{b}_pallas",
+                  bench_train_step, b, True, args.train_iters)
+            stage(f"train b{b} scan", f"train_step_ms_b{b}_scan",
+                  bench_train_step, b, False, args.train_iters)
+        if ("train_step_ms_b64_pallas" in extra
+                and "train_step_ms_b64_scan" in extra):
+            best64 = min(extra["train_step_ms_b64_pallas"],
+                         extra["train_step_ms_b64_scan"])
+            extra["train_mfu_b64"] = round(
+                train_matmul_flops(64) / (best64 * 1e-3) / V5E_BF16_PEAK, 4)
+        stage("train att_baseline", "train_step_ms_b16_att_baseline",
+              bench_train_step, 16, False, args.train_iters,
+              arch="att_baseline")
+
+    if not args.skip_train_e2e:
+        # the end-to-end loop: reference config (B=16) with the device
+        # feature bank (the TPU-native default — per-step H2D is a few KB
+        # of labels+row indices), a throughput config (B=96 bf16 — the
+        # largest batch inside the fused kernel's measured win envelope),
+        # plus streaming-mode controls: the same run with per-batch
+        # feature H2D (the big-dataset path), with and without the
+        # prefetch overlap, quantifying what the double-buffering hides.
+        stage("train e2e b16", "train_e2e_b16", bench_train_e2e,
+              args.train_e2e_epochs, 16, "b16",
+              timeout_s=max(T, 1800.0), use_pallas=True)
+        stage("train e2e b16 streaming", "train_e2e_b16_stream",
+              bench_train_e2e, 2, 16, "b16_stream",
+              timeout_s=max(T, 1800.0), use_pallas=True,
+              device_feature_bank="off")
+        stage("train e2e b16 streaming no-overlap",
+              "train_e2e_b16_stream_prefetch1",
+              bench_train_e2e, 2, 16, "b16_stream_prefetch1",
+              timeout_s=max(T, 1800.0), use_pallas=True,
+              device_feature_bank="off", prefetch_depth=1)
+        stage("train e2e b96 bf16", "train_e2e_b96_bf16", bench_train_e2e,
+              args.train_e2e_epochs, 96, "b96_bf16",
+              timeout_s=max(T, 1800.0), use_pallas=True,
+              compute_dtype="bfloat16")
+
+    if not args.skip_serving:
+        stage("serving artifact b16", "serving_b16",
+              bench_serving, 16, args.serving_iters)
+        stage("serving artifact b256", "serving_b256",
+              bench_serving, 256, max(args.serving_iters // 2, 5))
 
     if args.conv_ab:
-        with _stage("conv A/B"):
-            extra.update(bench_conv_ab())
+        stage("conv A/B", "conv_ab", bench_conv_ab)
+    if args.att_ab:
+        stage("att decoder A/B", "att_ab", bench_att_decoder_ab)
 
-    if args.skip_baseline:
-        vs = None
-    else:
-        with _stage("decode torch-cpu baseline"):
-            baseline = bench_torch_reference(args.baseline_batch,
-                                             args.baseline_iters)
-        extra["decode_torch_cpu_clips_per_sec"] = round(baseline, 2)
+    vs = None
+    if not args.skip_baseline:
+        baseline = _run_stage("decode torch-cpu baseline",
+                              bench_torch_reference, args.baseline_batch,
+                              args.baseline_iters, timeout_s=T)
+        if baseline is not None:
+            extra["decode_torch_cpu_clips_per_sec"] = round(baseline, 2)
+            if "decode_clips_per_sec_b10" in extra:
+                extra["decode_vs_torch_cpu_b10_like_for_like"] = round(
+                    extra["decode_clips_per_sec_b10"] / baseline, 1)
+            if ours is not None:
+                vs = ours / baseline
         if not args.skip_beam:
-            with _stage("beam torch-cpu baseline"):
-                beam_base = bench_torch_beam(args.baseline_batch, 1)
-            extra["beam_torch_cpu_clips_per_sec"] = round(beam_base, 2)
-            extra["beam_vs_torch_cpu"] = round(
-                extra["beam_clips_per_sec"] / beam_base, 1)
-        if "decode_clips_per_sec_b10" in extra:
-            extra["decode_vs_torch_cpu_b10_like_for_like"] = round(
-                extra["decode_clips_per_sec_b10"] / baseline, 1)
-        vs = ours / baseline
+            beam_base = _run_stage("beam torch-cpu baseline",
+                                   bench_torch_beam, args.baseline_batch,
+                                   max(args.baseline_iters, 3), timeout_s=T)
+            if beam_base is not None:
+                extra["beam_torch_cpu_clips_per_sec"] = round(beam_base, 2)
+                if "beam_clips_per_sec_b10" in extra:
+                    # both sides at the reference's B=10 eval batch
+                    extra["beam_vs_torch_cpu_b10_like_for_like"] = round(
+                        extra["beam_clips_per_sec_b10"] / beam_base, 1)
+                if "beam_clips_per_sec" in extra:
+                    # throughput batch vs B=10 baseline — NOT like-for-like
+                    # (the torch per-sentence beam is batch-independent);
+                    # named to record the batch mismatch.
+                    extra[f"beam_b{args.beam_batch}_vs_torch_cpu_b10"] = (
+                        round(extra["beam_clips_per_sec"] / beam_base, 1))
     extra["baseline_note"] = ("torch-CPU reference (no GPU on this host); "
                               "vs_baseline is TPU-vs-CPU, not like-for-like")
 
     print(json.dumps({
         "metric": "s2vt_greedy_decode_clips_per_sec_chip",
-        "value": round(ours, 2),
+        "value": round(ours, 2) if ours is not None else None,
         "unit": "clips/sec",
         "vs_baseline": round(vs, 2) if vs is not None else None,
         "extra": extra,

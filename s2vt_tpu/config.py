@@ -97,6 +97,14 @@ class Opt:
     #   the reference only tracks losses)
     prefetch_depth: int = 2  # device-input double-buffering: batches with
     #   an in-flight async device_put ahead of the consuming step (1 = off)
+    device_feature_bank: str = "auto"  # 'on' | 'off' | 'auto': keep the
+    #   ENTIRE feature set resident in device HBM (one upload at startup)
+    #   and gather batches on device by row index, so the per-step H2D
+    #   transfer shrinks from [B, L, feat_dim] floats to a few KB of
+    #   labels+indices. The right design for MSVD-scale data (~2.4 GB vs
+    #   16 GB HBM); 'auto' enables it when the split fits the budget below,
+    #   streaming mode remains for datasets that don't fit.
+    feature_bank_max_bytes: int = 6 << 30
     vocab_pad_multiple: int = 1  # pad vocab size up to a multiple (e.g. 128
     #   for MXU-friendly logits and tensor-parallel vocab sharding); padded
     #   indices never occur in captions and are masked out of decode.

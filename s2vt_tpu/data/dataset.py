@@ -48,11 +48,14 @@ def _npy_native_compatible(path) -> bool:
 
 
 class Batch(NamedTuple):
-    feats: np.ndarray    # [B, L, feat_dim] float32
+    feats: Optional[np.ndarray]  # [B, L, feat_dim] float32 (None when the
+    #   consumer holds a device-resident feature bank and gathers by `rows`)
     labels: np.ndarray   # [B, max_len] int32
     mask: np.ndarray     # [B, max_len] float32 (1 over real tokens incl. <sos>/<eos>)
     valid: np.ndarray    # [B] float32 (0 for padding samples in the last batch)
     ids: tuple           # video ids (len B; '' for padding samples)
+    rows: np.ndarray = None  # [B] int32 dataset row of each sample (0 for
+    #   padding samples; row i corresponds to feat_paths[i])
 
 
 class VideoDataset:
@@ -143,9 +146,27 @@ class VideoDataset:
         mask[:len(tokens)] = 1.0
         return label, mask
 
+    def load_all_features(self) -> np.ndarray:
+        """The whole split as one [N, feat_len, feat_dim] float32 array —
+        the host copy of a device-resident feature bank (Trainer gathers
+        batches from it on device by row index instead of streaming
+        [B, L, D] floats over PCIe/tunnel every step)."""
+        out = np.empty((len(self.feat_paths), self.feat_len, self.feat_dim),
+                       np.float32)
+        for i in range(len(self.feat_paths)):
+            out[i] = self._load_feat(i)
+        return out
+
+    def nbytes(self) -> int:
+        return len(self.feat_paths) * self.feat_len * self.feat_dim * 4
+
     def batches(self, batch_size: int, shuffle: Optional[bool] = None,
-                epoch: int = 0, drop_last: bool = False) -> Iterator[Batch]:
-        """Yield fixed-shape batches. Deterministic given (seed, epoch)."""
+                epoch: int = 0, drop_last: bool = False,
+                include_feats: bool = True) -> Iterator[Batch]:
+        """Yield fixed-shape batches. Deterministic given (seed, epoch).
+        ``include_feats=False`` skips feature IO entirely (Batch.feats is
+        None) for consumers that gather from a device feature bank via
+        ``Batch.rows``; label sampling is identical either way."""
         if shuffle is None:
             shuffle = self.mode == "train"
         n = len(self.feat_paths)
@@ -156,7 +177,7 @@ class VideoDataset:
             order = order[:(n // batch_size) * batch_size]
 
         native_iter = None
-        if self._native is not None and len(order):
+        if include_feats and self._native is not None and len(order):
             native_iter = self._native.iter_batches(order, batch_size)
 
         try:
@@ -166,22 +187,26 @@ class VideoDataset:
                 labels = np.zeros((B, self.max_len), np.int32)
                 mask = np.zeros((B, self.max_len), np.float32)
                 valid = np.zeros((B,), np.float32)
+                rows = np.zeros((B,), np.int32)
                 ids = [""] * B
                 if native_iter is not None:
                     feats = next(native_iter)  # prefetched off-thread in C++
-                else:
+                elif include_feats:
                     feats = np.zeros((B, self.feat_len, self.feat_dim),
                                      np.float32)
+                else:
+                    feats = None
                 for row, i in enumerate(idx):
                     vid = self.feat_paths[i].stem
                     caps = self.captions[vid]
                     cap = caps[rng.integers(len(caps))]
                     labels[row], mask[row] = self._encode_caption(cap)
-                    if native_iter is None:
+                    if include_feats and native_iter is None:
                         feats[row] = self._load_feat(i)
                     valid[row] = 1.0
+                    rows[row] = i
                     ids[row] = vid
-                yield Batch(feats, labels, mask, valid, tuple(ids))
+                yield Batch(feats, labels, mask, valid, tuple(ids), rows)
         finally:
             # Abandoned mid-epoch (consumer break/exception) or done either
             # way: close promptly. The native loader's epoch-generation

@@ -112,3 +112,44 @@ def shard_batch_arrays(mesh: Mesh, *arrays):
     """Device_put host arrays with the batch dim sharded over 'data'."""
     sh = batch_sharding(mesh)
     return tuple(jax.device_put(a, sh) for a in arrays)
+
+
+def device_put_chunked(x, sharding, chunk_bytes: int = 32 << 20,
+                       progress: bool = False):
+    """device_put a large host array in leading-dim chunks.
+
+    One multi-GB transfer is a single RPC on tunneled/networked runtimes
+    (and a single long blocking DMA elsewhere); chunking bounds each
+    transfer and assembles the array ON DEVICE via donated
+    dynamic_update_slice — peak device memory is the target buffer plus
+    one chunk, and the buffer is updated in place.
+    """
+    import jax.numpy as jnp
+    from functools import partial
+
+    if x.nbytes <= chunk_bytes or x.ndim == 0 or x.shape[0] <= 1:
+        return jax.device_put(x, sharding)
+    rows = max(1, int(chunk_bytes // max(x.nbytes // x.shape[0], 1)))
+
+    @partial(jax.jit, donate_argnums=0)
+    def update(buf, part, start):
+        idx = (start,) + (0,) * (buf.ndim - 1)
+        return jax.lax.dynamic_update_slice(buf, part, idx)
+
+    buf = jax.device_put(jnp.zeros(x.shape, x.dtype), sharding)
+    for start in range(0, x.shape[0], rows):
+        if start + rows > x.shape[0]:
+            # keep one compiled shape: slide the window back and rewrite
+            # the (already correct) overlap rows with the same values
+            start = x.shape[0] - rows
+        part = np.ascontiguousarray(x[start:start + rows])
+        buf = update(buf, jax.device_put(part), start)
+        if progress:
+            import sys
+            import time as _time
+            t0 = _time.perf_counter()
+            jax.block_until_ready(buf)   # surface stalls per chunk
+            print(f"[bank] rows {start}..{start + rows} "
+                  f"({_time.perf_counter() - t0:.1f}s)",
+                  file=sys.stderr, flush=True)
+    return buf

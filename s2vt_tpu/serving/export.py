@@ -139,10 +139,16 @@ class ServingCaptioner:
         self.eos_ix, self.pad_ix = sp["eos_ix"], sp["pad_ix"]
         self.sos_ix = sp["sos_ix"]
         self.batch_size = self.manifest["batch_size"]
+        # One jitted wrapper for the exported call: without it every
+        # request re-traces and re-lowers the call primitive host-side;
+        # under jit the executable is compiled once per input shape and
+        # cached (bench.py's serving stage measures the replayed
+        # throughput against the in-process jit path).
+        self._call = jax.jit(self._exported.call)
 
     def decode_tokens(self, feats: np.ndarray) -> np.ndarray:
         """Raw token ids for exactly one exported-shape batch."""
-        return np.asarray(self._exported.call(self.params, feats))
+        return np.asarray(self._call(self.params, feats))
 
     def caption(self, feats: np.ndarray) -> List[str]:
         """Caption a batch of clips. Fixed-shape artifacts zero-pad ragged

@@ -143,6 +143,28 @@ class Trainer:
             mesh_lib.opt_state_shardings(self.mesh, self.params, self.opt_state))
         self.batch_sharding = mesh_lib.batch_sharding(self.mesh)
 
+        # Device-resident feature bank: for MSVD-scale data the whole
+        # feature set fits HBM many times over, so stream it up ONCE and
+        # gather batches on device by row index — the per-step H2D payload
+        # drops from [B, L, feat_dim] floats to a few KB of labels+rows
+        # (the tunnel/PCIe link stops being the training bottleneck).
+        # Streaming mode remains for datasets over the budget.
+        fb = opt.device_feature_bank
+        self.use_feature_bank = fb == "on" or (
+            fb == "auto"
+            and self.train_ds.nbytes() + self.valid_ds.nbytes()
+            <= opt.feature_bank_max_bytes)
+        if self.use_feature_bank:
+            rep = mesh_lib.replicate_sharding(self.mesh)
+            # chunked upload: one multi-GB device_put is a single RPC on
+            # tunneled runtimes and can stall; 128MB slices stream fine.
+            self._bank = {
+                "train": mesh_lib.device_put_chunked(
+                    self.train_ds.load_all_features(), rep),
+                "valid": mesh_lib.device_put_chunked(
+                    self.valid_ds.load_all_features(), rep),
+            }
+
         self._train_step = self._make_train_step()
         self._eval_step = self._make_eval_step()
 
@@ -171,23 +193,43 @@ class Trainer:
                           masked=self.opt.masked_loss)
 
     def _make_train_step(self):
-        def step(params, opt_state, rng, feats, labels, mask, valid):
-            loss, grads = jax.value_and_grad(
-                lambda p: self._loss_fn(p, rng, feats, labels, mask, valid,
-                                        deterministic=False))(params)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+        if self.use_feature_bank:
+            def step(params, opt_state, rng, bank, rows, labels, mask, valid):
+                feats = jnp.take(bank, rows, axis=0)    # on-device gather
+                loss, grads = jax.value_and_grad(
+                    lambda p: self._loss_fn(p, rng, feats, labels, mask,
+                                            valid, deterministic=False))(params)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, loss
+        else:
+            def step(params, opt_state, rng, feats, labels, mask, valid):
+                loss, grads = jax.value_and_grad(
+                    lambda p: self._loss_fn(p, rng, feats, labels, mask,
+                                            valid, deterministic=False))(params)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, loss
         donate = (0, 1) if self.opt.donate_state else ()
         return jax.jit(step, donate_argnums=donate)
 
     def _make_eval_step(self):
-        def step(params, feats, labels, mask, valid):
-            return self._loss_fn(params, None, feats, labels, mask, valid,
-                                 deterministic=True)
+        if self.use_feature_bank:
+            def step(params, bank, rows, labels, mask, valid):
+                feats = jnp.take(bank, rows, axis=0)
+                return self._loss_fn(params, None, feats, labels, mask,
+                                     valid, deterministic=True)
+        else:
+            def step(params, feats, labels, mask, valid):
+                return self._loss_fn(params, None, feats, labels, mask,
+                                     valid, deterministic=True)
         return jax.jit(step)
 
     def _put(self, batch):
+        if self.use_feature_bank:
+            return mesh_lib.shard_batch_arrays(
+                self.mesh, batch.rows, batch.labels.astype(np.int32),
+                batch.mask, batch.valid)
         return mesh_lib.shard_batch_arrays(
             self.mesh, batch.feats, batch.labels.astype(np.int32),
             batch.mask, batch.valid)
@@ -205,13 +247,22 @@ class Trainer:
         clips = 0
         t0 = time.time()
         rng_epoch = jax.random.fold_in(self.dropout_base, epoch)
-        batches = self.train_ds.batches(self.opt.batch_size, epoch=epoch)
+        batches = self.train_ds.batches(
+            self.opt.batch_size, epoch=epoch,
+            include_feats=not self.use_feature_bank)
         for i, (batch, dev) in enumerate(prefetch_to_device(
                 batches, self._put, depth=self.opt.prefetch_depth)):
-            feats, labels, mask, valid = dev
             rng = jax.random.fold_in(rng_epoch, i)
-            self.params, self.opt_state, loss = self._train_step(
-                self.params, self.opt_state, rng, feats, labels, mask, valid)
+            if self.use_feature_bank:
+                rows, labels, mask, valid = dev
+                self.params, self.opt_state, loss = self._train_step(
+                    self.params, self.opt_state, rng, self._bank["train"],
+                    rows, labels, mask, valid)
+            else:
+                feats, labels, mask, valid = dev
+                self.params, self.opt_state, loss = self._train_step(
+                    self.params, self.opt_state, rng, feats, labels, mask,
+                    valid)
             losses.append(loss)  # device scalar; no sync until epoch end
             clips += int(batch.valid.sum())
         mean_loss = float(jnp.mean(jnp.stack(losses)))
@@ -221,11 +272,18 @@ class Trainer:
         from s2vt_tpu.data.dataset import prefetch_to_device
         losses, weights = [], []
         batches = self.valid_ds.batches(self.opt.batch_size, shuffle=False,
-                                        epoch=epoch)
+                                        epoch=epoch,
+                                        include_feats=not self.use_feature_bank)
         for batch, dev in prefetch_to_device(batches, self._put,
                                              depth=self.opt.prefetch_depth):
-            feats, labels, mask, valid = dev
-            losses.append(self._eval_step(self.params, feats, labels, mask, valid))
+            if self.use_feature_bank:
+                rows, labels, mask, valid = dev
+                losses.append(self._eval_step(self.params, self._bank["valid"],
+                                              rows, labels, mask, valid))
+            else:
+                feats, labels, mask, valid = dev
+                losses.append(self._eval_step(self.params, feats, labels,
+                                              mask, valid))
             weights.append(float(batch.valid.sum()))
         w = np.asarray(weights)
         return float(np.sum(np.asarray([float(l) for l in losses]) * w) / w.sum())

@@ -279,3 +279,47 @@ def test_msrvtt_scale_vocab_tp_step():
     with mesh:
         params, opt_state, loss = step(params, opt_state)
     assert np.isfinite(float(loss))
+
+
+def test_feature_bank_matches_streaming(corpus, tmp_path):
+    """The device feature bank (one HBM-resident [N, L, D] array, on-device
+    row gather per step) computes the SAME training trajectory as the
+    streaming path — same batches, same rng, same losses."""
+    opt_bank = small_opt(corpus, tmp_path, EPOCHS=2,
+                         save_path=str(tmp_path / "b"),
+                         device_feature_bank="on")
+    opt_stream = small_opt(corpus, tmp_path, EPOCHS=2,
+                           save_path=str(tmp_path / "s"),
+                           device_feature_bank="off")
+    tr_b = Trainer(opt_bank, writer=None)
+    tr_s = Trainer(opt_stream, writer=None)
+    assert tr_b.use_feature_bank and not tr_s.use_feature_bank
+    hb = tr_b.fit(epochs=2)
+    hs = tr_s.fit(epochs=2)
+    np.testing.assert_allclose(hb["train_loss"], hs["train_loss"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(hb["valid_loss"], hs["valid_loss"],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_feature_bank_auto_threshold(corpus, tmp_path):
+    """auto mode honours the byte budget: a budget below the split size
+    routes to streaming."""
+    opt = small_opt(corpus, tmp_path, feature_bank_max_bytes=16)
+    assert not Trainer(opt, writer=None).use_feature_bank
+    opt2 = small_opt(corpus, tmp_path)
+    assert Trainer(opt2, writer=None).use_feature_bank
+
+
+def test_device_put_chunked_roundtrip():
+    """Chunked upload assembles exactly the source array, including the
+    overlap-rewritten tail window."""
+    from s2vt_tpu.parallel import mesh as mesh_lib
+    mesh = make_mesh()
+    rep = mesh_lib.replicate_sharding(mesh)
+    x = np.arange(11 * 3 * 5, dtype=np.float32).reshape(11, 3, 5)
+    got = mesh_lib.device_put_chunked(x, rep, chunk_bytes=4 * 3 * 5 * 4)
+    np.testing.assert_array_equal(np.asarray(got), x)
+    small = np.ones((2, 2), np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(mesh_lib.device_put_chunked(small, rep)), small)
