@@ -587,9 +587,12 @@ def bench_serving(batch: int, iters: int) -> dict:
     from s2vt_tpu.serving import ServingCaptioner
     from s2vt_tpu.serving.export import export_captioner
 
+    # use_pallas=False on BOTH sides: artifacts always export the XLA
+    # path (pallas can't lower multi-platform), and the jit comparator
+    # must run the identical computation for the ratio to mean anything.
     model = S2VT(vocab_size=VOCAB, feat_dim=FEAT, length=L, dim_hid=H,
                  dim_embed=E, sos_ix=SOS, eos_ix=4,
-                 compute_dtype=jnp.bfloat16, use_pallas=True)
+                 compute_dtype=jnp.bfloat16, use_pallas=False)
     feats = np.asarray(jax.jit(
         lambda k: jax.random.normal(k, (batch, L, FEAT)))(
             jax.random.PRNGKey(1)))

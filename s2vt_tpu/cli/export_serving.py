@@ -48,6 +48,17 @@ def main():
     specials = special_token_indices(data["word2ix"])
     opt, model, params = model_from_checkpoint(args.model_path,
                                                len(data["word2ix"]))
+    if opt.use_pallas:
+        # Pallas kernels are TPU-only and cannot lower into the artifact's
+        # multi-platform (cpu+tpu) StableHLO; the XLA scan path computes
+        # the identical decode (parity-tested), so artifacts always export
+        # it. The checkpoint's training config is unaffected.
+        from s2vt_tpu.parallel import mesh as mesh_lib
+        from s2vt_tpu.training.loop import build_model
+        real_vocab = len(data["word2ix"])
+        vocab = mesh_lib.pad_to_multiple(real_vocab, opt.vocab_pad_multiple)
+        model = build_model(opt.replace(use_pallas=False), vocab,
+                            valid_vocab=real_vocab)
     batch = None if args.batch == "poly" else int(args.batch)
     out = export_captioner(
         model, params, ix2word, specials, batch, args.out,

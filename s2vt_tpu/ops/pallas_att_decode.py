@@ -24,10 +24,17 @@ scan path where the context is hoisted for free.
 
 Semantics match ``models/attention.py::teacher_forced``'s scan body
 (torch LSTM gate order i,f,g,o with both biases; Bahdanau additive scores)
-— verified by tests/test_pallas_att_decode.py. Forward-only by design:
-see the A/B note in the module docstring tail / README before wiring it
-into the training path (same measure-first discipline as pallas_conv /
-pallas_decode).
+— verified by tests/test_pallas_att_decode.py.
+
+RECORDED A/B (one v5e, forward loop T=79, L=80, H=512; bench.py --att-ab,
+r3): B=16 f32 pallas 3.17 ms vs scan 3.08 ms; B=16 bf16 3.09 vs 3.10;
+B=32 f32 3.32 vs 3.52; B=32 bf16 3.30 vs 3.47. A wash at the reference's
+B=16 and ~5% at B=32 — unlike the plain dual-LSTM loop (pallas_s2vt, ~20%
+win), the per-step attention reduce over [B, L, H] keeps the VPU busy
+enough that XLA's scan overhead no longer dominates. NOT wired into
+models/attention.py (a custom VJP would not pay for itself); kept as a
+complete, tested kernel + measured justification — the same
+measure-first discipline as pallas_conv / pallas_decode.
 """
 
 from __future__ import annotations

@@ -70,6 +70,10 @@ def export_captioner(model, params, ix2word: Dict[int, str],
     (``jax.export`` symbolic batch dim): one artifact serves any batch
     size, with the serving runtime lowering each new shape on first use —
     the fixed-shape export compiles once and pads instead.
+
+    Pass a model built with ``use_pallas=False``: Pallas kernels are
+    TPU-only and fail the multi-platform (cpu+tpu) lowering; the XLA
+    path computes the identical decode (the export CLI handles this).
     """
     out = pathlib.Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -133,6 +137,10 @@ class ServingCaptioner:
             (root / "decode.hlo").read_bytes())
         with np.load(root / "params.npz") as z:
             self.params = _unflatten_params({k: z[k] for k in z.files})
+        # Commit params to the device ONCE at load: numpy leaves would be
+        # re-uploaded on every request (measured 4.5x request slowdown on
+        # a tunneled chip; a dead per-call PCIe tax anywhere).
+        self.params = jax.device_put(self.params)
         self.ix2word = {int(k): v for k, v in
                         self.manifest["ix2word"].items()}
         sp = self.manifest["specials"]

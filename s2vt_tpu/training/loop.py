@@ -286,7 +286,9 @@ class Trainer:
                                               mask, valid))
             weights.append(float(batch.valid.sum()))
         w = np.asarray(weights)
-        return float(np.sum(np.asarray([float(l) for l in losses]) * w) / w.sum())
+        # one stacked D2H fetch, not one per batch (each sync is a full
+        # RPC round-trip on tunneled runtimes)
+        return float(np.sum(np.asarray(jnp.stack(losses)) * w) / w.sum())
 
     def fit(self, epochs: Optional[int] = None,
             on_epoch_end: Optional[Callable] = None) -> Dict[str, list]:
