@@ -55,10 +55,19 @@ class CaptionDecoder:
 
     def __init__(self, model, params, dataset: VideoDataset,
                  beam_width: int = 3, max_beam_depth: int = 30,
-                 beam_score_mode: str = "cumulative", mesh=None):
+                 beam_score_mode: str = "cumulative", mesh=None,
+                 feature_bank=None):
+        """``feature_bank``: optional device-resident [N, L, D] array
+        aligned with ``dataset.feat_paths`` (Trainer's bank). When given,
+        batches skip feature IO/H2D entirely and feats are gathered on
+        device by row index — repeated decodes (in-training metric eval)
+        stop re-streaming the split every call."""
         self.model = model
         self.dataset = dataset
         self.mesh = mesh
+        self.bank = feature_bank
+        self._gather = jax.jit(
+            lambda bank, rows: jax.numpy.take(bank, rows, axis=0))
         if mesh is not None and params is not None:
             from s2vt_tpu.parallel import mesh as mesh_lib
             params = jax.device_put(params,
@@ -83,8 +92,13 @@ class CaptionDecoder:
 
     def _run(self, batch_size: int, decode_fn: Callable) -> Dict[str, str]:
         preds: Dict[str, str] = {}
-        for batch in self.dataset.batches(batch_size, shuffle=False):
-            out = decode_fn(self.params, self._put(batch.feats))
+        for batch in self.dataset.batches(batch_size, shuffle=False,
+                                          include_feats=self.bank is None):
+            if self.bank is not None:
+                feats = self._gather(self.bank, self._put(batch.rows))
+            else:
+                feats = self._put(batch.feats)
+            out = decode_fn(self.params, feats)
             for row, vid in enumerate(batch.ids):
                 if batch.valid[row] == 0.0 or not vid:
                     continue

@@ -401,9 +401,13 @@ class Trainer:
         except FileNotFoundError:
             return None
         # Build the decoder (and its jitted decode fn) once; swap params in.
+        # Bank mode: decode gathers from the HBM-resident valid features
+        # instead of re-streaming the split on every metric eval.
         if not hasattr(self, "_metric_decoder"):
-            self._metric_decoder = CaptionDecoder(self.model, None,
-                                                  self.valid_ds)
+            self._metric_decoder = CaptionDecoder(
+                self.model, None, self.valid_ds,
+                feature_bank=(self._bank["valid"]
+                              if self.use_feature_bank else None))
         dec = self._metric_decoder
         dec.params = self.params
         preds = dec.greedy(self.opt.eval_batch_size)

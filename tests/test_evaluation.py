@@ -110,3 +110,22 @@ def test_mesh_decoding_matches_single_device(trained):
     mesh = make_mesh()  # all 8 CPU devices on the data axis
     sharded = CaptionDecoder(model, params, ds, mesh=mesh).greedy(batch_size=8)
     assert sharded == single and len(single) > 0
+
+
+def test_feature_bank_decoding_matches_streaming(trained):
+    """CaptionDecoder(feature_bank=...) — on-device row gather instead of
+    per-batch feature H2D — produces identical captions (greedy + beam)."""
+    import jax
+    from s2vt_tpu.data.dataset import VideoDataset
+    from s2vt_tpu.evaluation.decode import CaptionDecoder, model_from_checkpoint
+
+    corpus, path = trained
+    ds = VideoDataset(corpus["captions_file"], corpus["feat_path"],
+                      max_len=10, mode="test", seed=0)
+    opt, model, params = model_from_checkpoint(path, ds.vocab_size)
+    bank = jax.device_put(ds.load_all_features())
+
+    plain = CaptionDecoder(model, params, ds)
+    banked = CaptionDecoder(model, params, ds, feature_bank=bank)
+    assert banked.greedy(batch_size=4) == plain.greedy(batch_size=4)
+    assert banked.beam(batch_size=4) == plain.beam(batch_size=4)
