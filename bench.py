@@ -698,7 +698,7 @@ def main():
     ap.add_argument("--skip-train-e2e", action="store_true",
                     help="skip the end-to-end Trainer.fit epochs over the "
                          "on-disk MSVD-scale dataset")
-    ap.add_argument("--train-e2e-epochs", type=int, default=4)
+    ap.add_argument("--train-e2e-epochs", type=int, default=6)
     ap.add_argument("--skip-serving", action="store_true")
     ap.add_argument("--serving-iters", type=int, default=20)
     ap.add_argument("--stage-timeout", type=float, default=900.0,
@@ -791,6 +791,17 @@ def main():
               args.train_e2e_epochs, 96, "b96_bf16",
               timeout_s=max(T, 1800.0), use_pallas=True,
               compute_dtype="bfloat16")
+        # the model the reference's shipped train.py actually instantiates
+        # (attention_baseline.py / train.py:86)
+        stage("train e2e att_baseline b16", "train_e2e_b16_att",
+              bench_train_e2e, 3, 16, "b16_att",
+              timeout_s=max(T, 1800.0), model="att_baseline")
+        # MSR-VTT-scale logits: same data, vocab padded to 29,056 rows —
+        # the out-projection/loss cost of BASELINE config #5 measured e2e
+        stage("train e2e b16 vocab29k", "train_e2e_b16_v29k",
+              bench_train_e2e, 3, 16, "b16_v29k",
+              timeout_s=max(T, 1800.0), use_pallas=True,
+              compute_dtype="bfloat16", vocab_pad_multiple=29056)
 
     if not args.skip_serving:
         stage("serving artifact b16", "serving_b16",
