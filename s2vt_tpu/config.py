@@ -97,6 +97,10 @@ class Opt:
     #   the reference only tracks losses)
     prefetch_depth: int = 2  # device-input double-buffering: batches with
     #   an in-flight async device_put ahead of the consuming step (1 = off)
+    async_checkpoint: bool = True  # periodic/best checkpoint writes run on
+    #   orbax's background thread against a device-side state snapshot, so
+    #   the epoch loop never blocks on D2H + disk; the 'final' checkpoint
+    #   (and every restore) still waits for all in-flight writes.
     device_feature_bank: str = "auto"  # 'on' | 'off' | 'auto': keep the
     #   ENTIRE feature set resident in device HBM (one upload at startup)
     #   and gather batches on device by row index, so the per-step H2D

@@ -26,19 +26,63 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
+_async_ckptr = None
+_pending_config: list = []   # (path, config_json) to write once committed
+
+
+def _async_checkpointer():
+    global _async_ckptr
+    if _async_ckptr is None:
+        import orbax.checkpoint as ocp
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _async_ckptr
+
+
+def wait_for_saves() -> None:
+    """Block until every in-flight async checkpoint write has committed,
+    then write the deferred opt.json snapshots (orbax materializes the
+    checkpoint directory only at commit — an atomic tmp-dir rename — so
+    the config cannot be placed inside it any earlier)."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+    while _pending_config:
+        path, config_json = _pending_config.pop()
+        with open(os.path.join(path, "opt.json"), "w", encoding="utf-8") as f:
+            f.write(config_json)
+
+
 def save_checkpoint(path: str, tree: Any, config_json: Optional[str] = None,
-                    overwrite: bool = True) -> str:
-    """Save a pytree checkpoint to ``path`` (directory). Returns the path."""
+                    overwrite: bool = True, blocking: bool = True) -> str:
+    """Save a pytree checkpoint to ``path`` (directory). Returns the path.
+
+    ``blocking=False`` launches the save on orbax's async checkpointer and
+    returns immediately — the D2H fetch + disk write overlap subsequent
+    training steps (the per-improvement best-model save is on the epoch
+    critical path otherwise). The caller must pass a tree whose device
+    buffers will not be DONATED while the save is in flight (Trainer
+    snapshots them on device first), and call ``wait_for_saves()`` before
+    relying on the files. At most one async save is in flight: a new save
+    waits for the previous one (also protecting the rmtree below from
+    racing an in-flight write).
+    """
     path = os.path.abspath(path)
+    wait_for_saves()
     if overwrite and os.path.exists(path):
         import shutil
         shutil.rmtree(path)
-    ckptr = _checkpointer()
-    ckptr.save(path, tree)
-    ckptr.wait_until_finished()
-    if config_json is not None:
-        with open(os.path.join(path, "opt.json"), "w", encoding="utf-8") as f:
-            f.write(config_json)
+    if blocking:
+        ckptr = _checkpointer()
+        ckptr.save(path, tree)
+        ckptr.wait_until_finished()
+        if config_json is not None:
+            with open(os.path.join(path, "opt.json"), "w",
+                      encoding="utf-8") as f:
+                f.write(config_json)
+    else:
+        import orbax.checkpoint as ocp
+        _async_checkpointer().save(path, args=ocp.args.StandardSave(tree))
+        if config_json is not None:
+            _pending_config.append((path, config_json))
     return path
 
 
@@ -46,6 +90,7 @@ def restore_checkpoint(path: str, abstract_tree: Optional[Any] = None) -> Any:
     """Restore a pytree checkpoint. ``abstract_tree`` (e.g. the result of
     ``jax.eval_shape`` on init) pins structure/dtypes/shardings."""
     path = os.path.abspath(path)
+    wait_for_saves()   # never read a checkpoint whose async write is in flight
     ckptr = _checkpointer()
     if abstract_tree is not None:
         abstract_tree = jax.tree_util.tree_map(
@@ -56,6 +101,7 @@ def restore_checkpoint(path: str, abstract_tree: Optional[Any] = None) -> Any:
 
 
 def load_config(path: str) -> Optional[dict]:
+    wait_for_saves()   # opt.json may still be deferred behind an async save
     p = os.path.join(os.path.abspath(path), "opt.json")
     if not os.path.exists(p):
         return None

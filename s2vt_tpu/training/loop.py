@@ -326,7 +326,7 @@ class Trainer:
             pass
         try:
             self._fit_epochs(epochs, on_epoch_end)
-            self.save("final")
+            self.save("final", blocking=True)
         finally:
             if registered:
                 signal.signal(signal.SIGTERM,
@@ -420,13 +420,27 @@ class Trainer:
                                        global_step=epoch)
         return scores
 
-    def save(self, tag: str) -> str:
+    def save(self, tag: str, blocking: Optional[bool] = None) -> str:
+        """Write a checkpoint. With Opt.async_checkpoint (default) the
+        D2H fetch + disk write run on orbax's background thread and the
+        epoch loop continues immediately; the state is SNAPSHOTTED on
+        device first (jnp.copy) so the train step's donated buffers
+        cannot corrupt an in-flight save. 'final' is always blocking."""
+        if blocking is None:
+            blocking = not self.opt.async_checkpoint
         path = os.path.join(self.opt.save_path, self.opt.start_time + tag)
-        tree = {"params": jax.device_get(self.params),
-                "opt_state": jax.device_get(self.opt_state),
+        if blocking:
+            state = {"params": jax.device_get(self.params),
+                     "opt_state": jax.device_get(self.opt_state)}
+        else:
+            state = jax.tree_util.tree_map(
+                jnp.copy, {"params": self.params,
+                           "opt_state": self.opt_state})
+        tree = {**state,
                 "plateau": self.plateau.state_dict(),
                 "early": self.early.state_dict()}
-        return save_checkpoint(path, tree, config_json=self.opt.to_json())
+        return save_checkpoint(path, tree, config_json=self.opt.to_json(),
+                               blocking=blocking)
 
     def restore(self, path: str) -> None:
         from s2vt_tpu.training.checkpoint import restore_checkpoint

@@ -323,3 +323,26 @@ def test_device_put_chunked_roundtrip():
     small = np.ones((2, 2), np.float32)
     np.testing.assert_array_equal(
         np.asarray(mesh_lib.device_put_chunked(small, rep)), small)
+
+
+def test_async_checkpoint_roundtrip(corpus, tmp_path):
+    """async_checkpoint=True (default): saves return without blocking, the
+    state is snapshotted against donation, and the files restore exactly
+    like blocking saves."""
+    opt = small_opt(corpus, tmp_path, EPOCHS=2)
+    assert opt.async_checkpoint
+    tr = Trainer(opt, writer=None)
+    tr.fit(epochs=2)
+    path = tr.save("async_rt")          # async
+    # keep training AFTER the save: donated steps must not corrupt it
+    tr.train_epoch(7)
+    from s2vt_tpu.training.checkpoint import wait_for_saves
+    wait_for_saves()
+
+    opt2 = small_opt(corpus, tmp_path, async_checkpoint=False,
+                     save_path=str(tmp_path / "blk"))
+    tr2 = Trainer(opt2, writer=None)
+    before = tr2.valid_epoch(0)
+    tr2.restore(path)
+    after = tr2.valid_epoch(0)
+    assert abs(after - before) > 1e-6   # restore changed params
