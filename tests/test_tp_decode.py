@@ -87,3 +87,46 @@ def test_beam_tp_scores_match(setup):
     np.testing.assert_allclose(np.asarray(res_tp.scores),
                                np.asarray(res_plain.scores),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_tp_trained_checkpoint_captions(tmp_path):
+    """The FULL loop: train dp=4 x tp=2 (vocab-sharded), checkpoint, then
+    caption from the checkpoint via the public eval entry points — the
+    mesh comes from the checkpoint's own config (opt.mesh_shape), no
+    manual resharding. Captions must equal a replicated decode's."""
+    from s2vt_tpu.config import Opt
+    from s2vt_tpu.evaluation.decode import beam_eval, greedy_eval
+    from s2vt_tpu.training import Trainer
+
+    meta = make_synthetic_corpus(str(tmp_path / "c"), n_videos=10,
+                                 feat_len=L, feat_dim=D, seed=11)
+    opt = Opt(caption_file=meta["captions_file"],
+              feats_path=meta["feat_path"], gts_file=meta["gts_file"],
+              train_length=L, dim_hidden=16, dim_embed=16, feat_dim=D,
+              batch_size=8, save_path=str(tmp_path / "ckpt"),
+              log_dir=str(tmp_path / "runs"), lr=1e-2,
+              mesh_shape=(4, 2), vocab_pad_multiple=8, seed=0)
+    tr = Trainer(opt, mesh=make_mesh((4, 2)), writer=None)
+    tr.fit(epochs=2)
+    path = tr.save("tp_ckpt", blocking=True)
+
+    # decoder built from the checkpoint: mesh_shape (4,2) -> TP decode
+    tp_greedy = greedy_eval(path, meta["captions_file"], meta["feat_path"],
+                            batch_size=4)
+    tp_beam = beam_eval(path, meta["captions_file"], meta["feat_path"],
+                        batch_size=4)
+
+    # replicated control: same checkpoint, mesh disabled via config
+    import json
+    import pathlib
+
+    from s2vt_tpu.training.checkpoint import load_config
+    cfg = load_config(path)
+    cfg["mesh_shape"] = [1, 1]
+    (pathlib.Path(path) / "opt.json").write_text(json.dumps(cfg))
+    rep_greedy = greedy_eval(path, meta["captions_file"], meta["feat_path"],
+                             batch_size=4)
+    rep_beam = beam_eval(path, meta["captions_file"], meta["feat_path"],
+                         batch_size=4)
+    assert tp_greedy and tp_greedy == rep_greedy
+    assert tp_beam and tp_beam == rep_beam
