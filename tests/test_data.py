@@ -175,3 +175,32 @@ def test_ragged_feature_padding(tmp_path):
     np.testing.assert_array_equal(batch.feats[1, 3:], 0.0)  # padded tail
     np.testing.assert_array_equal(batch.feats[1, :3], 2.0)
     np.testing.assert_array_equal(batch.feats[2], 3.0)      # truncated
+
+
+def test_feature_bank_ragged_lengths(tmp_path):
+    """'free'-mode extraction produces ragged clip lengths; both the
+    streaming path and load_all_features() truncate/zero-pad to the probed
+    feat_len identically, so bank and streaming batches stay bit-equal."""
+    import numpy as np
+    from s2vt_tpu.data.dataset import make_synthetic_corpus, VideoDataset
+
+    meta = make_synthetic_corpus(str(tmp_path), n_videos=6, feat_len=8,
+                                 feat_dim=16, seed=5)
+    # make two clips ragged: one short, one long
+    import pathlib
+    paths = sorted(pathlib.Path(meta["feat_path"]).glob("*.npy"))
+    np.save(paths[1], np.random.default_rng(0).normal(
+        size=(5, 16)).astype(np.float32))
+    np.save(paths[2], np.random.default_rng(1).normal(
+        size=(12, 16)).astype(np.float32))
+
+    ds = VideoDataset(meta["captions_file"], meta["feat_path"], max_len=8,
+                      mode="train", seed=0)
+    bank = ds.load_all_features()
+    assert bank.shape == (len(ds), ds.feat_len, ds.feat_dim)
+    for batch in ds.batches(4, shuffle=False, epoch=0):
+        for row in range(4):
+            if batch.valid[row] == 0.0:
+                continue
+            np.testing.assert_array_equal(batch.feats[row],
+                                          bank[batch.rows[row]])
