@@ -636,10 +636,12 @@ def _run_stage(name, fn, *args, timeout_s: float = 600.0, retries: int = 1,
 
     The axon tunnel occasionally stalls fetching device values (CLAUDE.md);
     r2's decode stage burned 18 minutes on exactly that. The stage runs in
-    a daemon thread; on timeout the thread is abandoned (the bench process
-    exits at the end anyway) and the stage retried once, then skipped —
-    one wedged stage can no longer eat the artifact run. Returns the
-    stage's value, or None if every attempt timed out / raised."""
+    a daemon thread. A RAISED stage (thread dead) is retried once. A
+    TIMED-OUT stage is skipped WITHOUT retry: the abandoned thread may
+    still be running, and a concurrent retry would contend with it for
+    the exclusive device and for HBM (and record contaminated numbers) —
+    one wedged stage is marked skipped and the run moves on. Returns the
+    stage's value, or None."""
     import sys
     import threading
 
@@ -658,10 +660,10 @@ def _run_stage(name, fn, *args, timeout_s: float = 600.0, retries: int = 1,
         t.join(timeout_s)
         dt = time.perf_counter() - t0
         if t.is_alive():
-            print(f"[bench] {name}: TIMEOUT after {dt:.0f}s "
-                  f"(attempt {attempt + 1}/{retries + 1})",
-                  file=sys.stderr, flush=True)
-            continue
+            print(f"[bench] {name}: TIMEOUT after {dt:.0f}s — skipped "
+                  f"(no retry: the stalled attempt may still hold the "
+                  f"device)", file=sys.stderr, flush=True)
+            return None
         if "error" in result:
             print(f"[bench] {name}: ERROR {result['error']!r} "
                   f"(attempt {attempt + 1}/{retries + 1})",

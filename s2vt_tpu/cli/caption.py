@@ -156,7 +156,7 @@ def main():
         try:
             manifest = json.loads(
                 (pathlib.Path(args.artifact) / "manifest.json").read_text())
-        except OSError as e:
+        except (OSError, ValueError) as e:   # missing, unreadable, corrupt
             ap.error(f"cannot read artifact manifest: {e}")
         if args.beam and manifest.get("mode") != "beam":
             ap.error(f"--beam cannot apply: artifact was exported with "

@@ -92,6 +92,8 @@ class VideoDataset:
         self.feat_len, self.feat_dim = int(probe.shape[0]), int(probe.shape[1])
 
         self._native = None
+        self._native_ok = False
+        self._backend_pref = backend
         if backend in ("auto", "native") and not preload:
             # Probe headers up front: the C++ loader only reads <f4 C-order
             # 2-D files. With backend='auto' an incompatible file (float64,
@@ -104,16 +106,25 @@ class VideoDataset:
                 raise ValueError(
                     f"backend='native' requires little-endian float32 "
                     f"C-order 2-D .npy files; incompatible: {bad}")
-            if compatible:
-                try:
-                    from s2vt_tpu.data.native_loader import NativeFeatureLoader
-                    self._native = NativeFeatureLoader(
-                        [str(p) for p in self.feat_paths],
-                        self.feat_len, self.feat_dim)
-                except Exception:
-                    if backend == "native":
-                        raise
-        self.backend = "native" if self._native is not None else "numpy"
+            self._native_ok = compatible
+        self.backend = "native" if self._native_ok else "numpy"
+
+    def _ensure_native(self):
+        """Build the C++ reader pool on FIRST streaming use — a consumer
+        gathering from a device feature bank (include_feats=False) never
+        pays the lib build or holds the pool."""
+        if self._native is None and self._native_ok:
+            try:
+                from s2vt_tpu.data.native_loader import NativeFeatureLoader
+                self._native = NativeFeatureLoader(
+                    [str(p) for p in self.feat_paths],
+                    self.feat_len, self.feat_dim)
+            except Exception:
+                if self._backend_pref == "native":
+                    raise
+                self._native_ok = False
+                self.backend = "numpy"
+        return self._native
 
     def __len__(self) -> int:
         return len(self.feat_paths)
@@ -177,7 +188,7 @@ class VideoDataset:
             order = order[:(n // batch_size) * batch_size]
 
         native_iter = None
-        if include_feats and self._native is not None and len(order):
+        if include_feats and len(order) and self._ensure_native() is not None:
             native_iter = self._native.iter_batches(order, batch_size)
 
         try:

@@ -27,7 +27,7 @@ def _checkpointer():
 
 
 _async_ckptr = None
-_pending_config: list = []   # (path, config_json) to write once committed
+_config_threads: list = []   # watchers that land opt.json at commit time
 
 
 def _async_checkpointer():
@@ -38,17 +38,24 @@ def _async_checkpointer():
     return _async_ckptr
 
 
+def _commit_config(path: str, config_json: str) -> None:
+    """Watcher-thread body: orbax materializes the checkpoint directory
+    only at commit (an atomic tmp-dir rename), so opt.json is written the
+    moment the async save lands — the window where a crash or a
+    concurrent reader could see a checkpoint without its config is the
+    save duration itself, same as a blocking save's."""
+    _async_ckptr.wait_until_finished()
+    with open(os.path.join(path, "opt.json"), "w", encoding="utf-8") as f:
+        f.write(config_json)
+
+
 def wait_for_saves() -> None:
-    """Block until every in-flight async checkpoint write has committed,
-    then write the deferred opt.json snapshots (orbax materializes the
-    checkpoint directory only at commit — an atomic tmp-dir rename — so
-    the config cannot be placed inside it any earlier)."""
+    """Block until every in-flight async checkpoint write has committed
+    and its opt.json has been placed."""
     if _async_ckptr is not None:
         _async_ckptr.wait_until_finished()
-    while _pending_config:
-        path, config_json = _pending_config.pop()
-        with open(os.path.join(path, "opt.json"), "w", encoding="utf-8") as f:
-            f.write(config_json)
+    while _config_threads:
+        _config_threads.pop().join()
 
 
 def save_checkpoint(path: str, tree: Any, config_json: Optional[str] = None,
@@ -79,10 +86,15 @@ def save_checkpoint(path: str, tree: Any, config_json: Optional[str] = None,
                       encoding="utf-8") as f:
                 f.write(config_json)
     else:
+        import threading
+
         import orbax.checkpoint as ocp
         _async_checkpointer().save(path, args=ocp.args.StandardSave(tree))
         if config_json is not None:
-            _pending_config.append((path, config_json))
+            t = threading.Thread(target=_commit_config,
+                                 args=(path, config_json), daemon=True)
+            t.start()
+            _config_threads.append(t)
     return path
 
 

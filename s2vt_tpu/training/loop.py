@@ -157,7 +157,8 @@ class Trainer:
         if self.use_feature_bank:
             rep = mesh_lib.replicate_sharding(self.mesh)
             # chunked upload: one multi-GB device_put is a single RPC on
-            # tunneled runtimes and can stall; 128MB slices stream fine.
+            # tunneled runtimes and can stall; 32MB slices (the
+            # device_put_chunked default) stream fine.
             self._bank = {
                 "train": mesh_lib.device_put_chunked(
                     self.train_ds.load_all_features(), rep),
