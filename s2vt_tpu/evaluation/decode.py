@@ -66,8 +66,9 @@ class CaptionDecoder:
         self.dataset = dataset
         self.mesh = mesh
         self.bank = feature_bank
-        self._gather = jax.jit(
-            lambda bank, rows: jax.numpy.take(bank, rows, axis=0))
+        if feature_bank is not None:
+            self._gather = jax.jit(
+                lambda bank, rows: jax.numpy.take(bank, rows, axis=0))
         if mesh is not None and params is not None:
             from s2vt_tpu.parallel import mesh as mesh_lib
             params = jax.device_put(params,

@@ -124,8 +124,11 @@ def device_put_chunked(x, sharding, chunk_bytes: int = 32 << 20,
     dynamic_update_slice — peak device memory is the target buffer plus
     one chunk, and the buffer is updated in place.
     """
-    import jax.numpy as jnp
+    import sys
+    import time
     from functools import partial
+
+    import jax.numpy as jnp
 
     if x.nbytes <= chunk_bytes or x.ndim == 0 or x.shape[0] <= 1:
         return jax.device_put(x, sharding)
@@ -145,11 +148,9 @@ def device_put_chunked(x, sharding, chunk_bytes: int = 32 << 20,
         part = np.ascontiguousarray(x[start:start + rows])
         buf = update(buf, jax.device_put(part), start)
         if progress:
-            import sys
-            import time as _time
-            t0 = _time.perf_counter()
+            t0 = time.perf_counter()
             jax.block_until_ready(buf)   # surface stalls per chunk
             print(f"[bank] rows {start}..{start + rows} "
-                  f"({_time.perf_counter() - t0:.1f}s)",
+                  f"({time.perf_counter() - t0:.1f}s)",
                   file=sys.stderr, flush=True)
     return buf

@@ -194,36 +194,35 @@ class Trainer:
                           masked=self.opt.masked_loss)
 
     def _make_train_step(self):
+        def update(params, opt_state, rng, feats, labels, mask, valid):
+            loss, grads = jax.value_and_grad(
+                lambda p: self._loss_fn(p, rng, feats, labels, mask, valid,
+                                        deterministic=False))(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
         if self.use_feature_bank:
             def step(params, opt_state, rng, bank, rows, labels, mask, valid):
-                feats = jnp.take(bank, rows, axis=0)    # on-device gather
-                loss, grads = jax.value_and_grad(
-                    lambda p: self._loss_fn(p, rng, feats, labels, mask,
-                                            valid, deterministic=False))(params)
-                updates, opt_state = self.tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return params, opt_state, loss
+                return update(params, opt_state, rng,
+                              jnp.take(bank, rows, axis=0),  # on-device gather
+                              labels, mask, valid)
         else:
-            def step(params, opt_state, rng, feats, labels, mask, valid):
-                loss, grads = jax.value_and_grad(
-                    lambda p: self._loss_fn(p, rng, feats, labels, mask,
-                                            valid, deterministic=False))(params)
-                updates, opt_state = self.tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return params, opt_state, loss
+            step = update
         donate = (0, 1) if self.opt.donate_state else ()
         return jax.jit(step, donate_argnums=donate)
 
     def _make_eval_step(self):
+        def eval_loss(params, feats, labels, mask, valid):
+            return self._loss_fn(params, None, feats, labels, mask, valid,
+                                 deterministic=True)
+
         if self.use_feature_bank:
             def step(params, bank, rows, labels, mask, valid):
-                feats = jnp.take(bank, rows, axis=0)
-                return self._loss_fn(params, None, feats, labels, mask,
-                                     valid, deterministic=True)
+                return eval_loss(params, jnp.take(bank, rows, axis=0),
+                                 labels, mask, valid)
         else:
-            def step(params, feats, labels, mask, valid):
-                return self._loss_fn(params, None, feats, labels, mask,
-                                     valid, deterministic=True)
+            step = eval_loss
         return jax.jit(step)
 
     def _put(self, batch):
@@ -254,16 +253,11 @@ class Trainer:
         for i, (batch, dev) in enumerate(prefetch_to_device(
                 batches, self._put, depth=self.opt.prefetch_depth)):
             rng = jax.random.fold_in(rng_epoch, i)
-            if self.use_feature_bank:
-                rows, labels, mask, valid = dev
-                self.params, self.opt_state, loss = self._train_step(
-                    self.params, self.opt_state, rng, self._bank["train"],
-                    rows, labels, mask, valid)
-            else:
-                feats, labels, mask, valid = dev
-                self.params, self.opt_state, loss = self._train_step(
-                    self.params, self.opt_state, rng, feats, labels, mask,
-                    valid)
+            # bank mode: dev = (rows, labels, mask, valid), the bank is
+            # prepended; streaming: dev = (feats, labels, mask, valid)
+            extra = ((self._bank["train"],) if self.use_feature_bank else ())
+            self.params, self.opt_state, loss = self._train_step(
+                self.params, self.opt_state, rng, *extra, *dev)
             losses.append(loss)  # device scalar; no sync until epoch end
             clips += int(batch.valid.sum())
         mean_loss = float(jnp.mean(jnp.stack(losses)))
@@ -275,16 +269,10 @@ class Trainer:
         batches = self.valid_ds.batches(self.opt.batch_size, shuffle=False,
                                         epoch=epoch,
                                         include_feats=not self.use_feature_bank)
+        extra = ((self._bank["valid"],) if self.use_feature_bank else ())
         for batch, dev in prefetch_to_device(batches, self._put,
                                              depth=self.opt.prefetch_depth):
-            if self.use_feature_bank:
-                rows, labels, mask, valid = dev
-                losses.append(self._eval_step(self.params, self._bank["valid"],
-                                              rows, labels, mask, valid))
-            else:
-                feats, labels, mask, valid = dev
-                losses.append(self._eval_step(self.params, feats, labels,
-                                              mask, valid))
+            losses.append(self._eval_step(self.params, *extra, *dev))
             weights.append(float(batch.valid.sum()))
         w = np.asarray(weights)
         # one stacked D2H fetch, not one per batch (each sync is a full
