@@ -538,7 +538,7 @@ def bench_train_e2e(epochs: int, batch: int, tag: str, **overrides) -> dict:
               feats_path=str(root / "feats"),
               gts_file=str(root / "gts.json"),
               batch_size=batch, save_path=tmp, log_dir=tmp,
-              metric_eval_freq=0, **overrides)
+              **{"metric_eval_freq": 0, **overrides})
     try:
         t_setup = time.perf_counter()
         tr = Trainer(opt, writer=None)
@@ -566,17 +566,25 @@ def bench_train_e2e(epochs: int, batch: int, tag: str, **overrides) -> dict:
             # loss must go DOWN on-device for the run to count as training
             out[f"train_e2e_loss_first_last_{tag}"] = [
                 round(loss[0], 3), round(loss[-1], 3)]
+        metrics = tr.history.get("metrics")
+        if metrics:
+            # in-training metric eval ran on-chip: bank-backed greedy
+            # decode of the valid split + host-side BLEU/METEOR/ROUGE/CIDEr
+            out[f"train_e2e_metric_evals_{tag}"] = len(metrics)
+            out[f"train_e2e_last_METEOR_{tag}"] = round(
+                metrics[-1]["METEOR"], 4)
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def bench_serving(batch: int, iters: int) -> dict:
+def bench_serving(batch: int, iters: int, mode: str = "greedy") -> dict:
     """Serving-artifact replay vs the in-process jit path, same model and
     batch, per-request sync both sides (the serving access pattern). The
     artifact path must be provably not-slower than jit — the whole point
     of shipping StableHLO (serving/export.py) over the reference's
-    torch.load (eval.py:41)."""
+    torch.load (eval.py:41). mode='beam' exports/replays the batched
+    beam search (width 3, depth 30) instead of greedy."""
     import shutil
     import tempfile
 
@@ -598,12 +606,22 @@ def bench_serving(batch: int, iters: int) -> dict:
             jax.random.PRNGKey(1)))
     params = model.init(jax.random.PRNGKey(0), feats, mode="test")["params"]
 
+    if mode == "beam":
+        def jit_body(p, f):
+            res = model.apply({"params": p}, f, mode="beam_search",
+                              beam_width=3, max_beam_depth=30)
+            return res.tokens[:, 0, :]             # matches the export
+    else:
+        def jit_body(p, f):
+            return model.apply({"params": p}, f, mode="test")
+
     out_dir = tempfile.mkdtemp(prefix="s2vt_serving_bench_")
+    key = f"b{batch}" if mode == "greedy" else f"beam_b{batch}"
     try:
         ix2word = {i: f"w{i}" for i in range(VOCAB)}
         specials = {"pad_ix": 0, "unk_ix": 1, "sos_ix": SOS, "eos_ix": 4}
         export_captioner(model, params, ix2word, specials, batch, out_dir,
-                         mode="greedy")
+                         mode=mode)
         sc = ServingCaptioner(out_dir)
 
         sc.decode_tokens(feats)                    # compile
@@ -612,8 +630,7 @@ def bench_serving(batch: int, iters: int) -> dict:
             toks_art = sc.decode_tokens(feats)     # np.asarray = sync
         art = batch * iters / (time.perf_counter() - t0)
 
-        jit_fn = jax.jit(lambda p, f: model.apply({"params": p}, f,
-                                                  mode="test"))
+        jit_fn = jax.jit(jit_body)
         np.asarray(jit_fn(params, feats))          # compile
         t0 = time.perf_counter()
         for _ in range(iters):
@@ -622,9 +639,9 @@ def bench_serving(batch: int, iters: int) -> dict:
 
         assert (toks_art == toks_jit).all(), "artifact decode diverged"
         return {
-            f"serving_artifact_clips_per_sec_b{batch}": round(art, 2),
-            f"serving_jit_clips_per_sec_b{batch}": round(jit, 2),
-            f"serving_artifact_vs_jit_b{batch}": round(art / jit, 3),
+            f"serving_artifact_clips_per_sec_{key}": round(art, 2),
+            f"serving_jit_clips_per_sec_{key}": round(jit, 2),
+            f"serving_artifact_vs_jit_{key}": round(art / jit, 3),
         }
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -777,9 +794,14 @@ def main():
         # plus streaming-mode controls: the same run with per-batch
         # feature H2D (the big-dataset path), with and without the
         # prefetch overlap, quantifying what the double-buffering hides.
+        # metric_eval_freq=5: the reference's full workload — train + valid
+        # + (our extension) in-training BLEU/METEOR/ROUGE/CIDEr over the
+        # valid split, decoded from the device feature bank. With the
+        # 6-epoch default it fires exactly once (epoch 4), so the
+        # metric-scoring epoch is in the run but not the steady median.
         stage("train e2e b16", "train_e2e_b16", bench_train_e2e,
               args.train_e2e_epochs, 16, "b16",
-              timeout_s=max(T, 1800.0), use_pallas=True)
+              timeout_s=max(T, 1800.0), use_pallas=True, metric_eval_freq=5)
         stage("train e2e b16 streaming", "train_e2e_b16_stream",
               bench_train_e2e, 2, 16, "b16_stream",
               timeout_s=max(T, 1800.0), use_pallas=True,
@@ -810,6 +832,9 @@ def main():
               bench_serving, 16, args.serving_iters)
         stage("serving artifact b256", "serving_b256",
               bench_serving, 256, max(args.serving_iters // 2, 5))
+        stage("serving beam artifact b16", "serving_beam_b16",
+              bench_serving, 16, max(args.serving_iters // 2, 5),
+              mode="beam")
 
     if args.conv_ab:
         stage("conv A/B", "conv_ab", bench_conv_ab)

@@ -186,3 +186,26 @@ def test_topk_small_equals_lax_topk(seed):
         got_v, got_i = beam_mod._topk_small(jnp.asarray(x), k)
         np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
         np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_beam_supports_gru():
+    """Capability extension over the reference: its beam_search asserts
+    LSTM-only (S2VTModel.py:153); ours is generic over the cell — a GRU
+    S2VT beam-decodes with sane, sorted, finite scores."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from s2vt_tpu.models import S2VT
+
+    model = S2VT(vocab_size=64, feat_dim=12, length=8, dim_hid=16,
+                 dim_embed=16, rnn_type="gru", sos_ix=3, eos_ix=4)
+    feats = jax.random.normal(jax.random.PRNGKey(0), (3, 8, 12))
+    params = model.init(jax.random.PRNGKey(1), feats, mode="test")["params"]
+    res = model.apply({"params": params}, feats, mode="beam_search",
+                      beam_width=3, max_beam_depth=6)
+    toks = np.asarray(res.tokens)
+    scores = np.asarray(res.scores)
+    assert toks.shape == (3, 3, 7) and (toks[:, :, 0] == 3).all()
+    assert np.isfinite(scores).all()
+    assert (np.diff(scores, axis=1) <= 1e-6).all()   # sorted desc
