@@ -162,6 +162,14 @@ def main():
             ap.error(f"--beam cannot apply: artifact was exported with "
                      f"mode={manifest.get('mode')!r} (re-export with "
                      f"--mode beam, cli/export_serving.py)")
+        if not args.beam and manifest.get("mode") == "beam":
+            # mirror of the check above: the artifact replays beam decode
+            # regardless of flags — say so instead of surprising a user
+            # who expected the greedy default.
+            import sys
+            print("note: artifact was exported with mode='beam'; replaying "
+                  "beam decode (pass --beam to silence this)",
+                  file=sys.stderr)
 
     if args.serve:
         captioner = ClipCaptioner(args.model_path, args.caption_file,

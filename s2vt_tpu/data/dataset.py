@@ -107,7 +107,18 @@ class VideoDataset:
                     f"backend='native' requires little-endian float32 "
                     f"C-order 2-D .npy files; incompatible: {bad}")
             self._native_ok = compatible
+        # Provisional until first streaming use: 'native' here means the
+        # header probe passed; the C++ lib builds lazily and a build
+        # failure (backend='auto') demotes to 'numpy' at that point. Use
+        # effective_backend() for the post-build answer.
         self.backend = "native" if self._native_ok else "numpy"
+
+    def effective_backend(self) -> str:
+        """The backend batches will ACTUALLY stream through: forces the
+        lazy C++ lib build (``_ensure_native``) so an 'auto' dataset whose
+        build fails reports 'numpy' instead of the provisional 'native'."""
+        self._ensure_native()
+        return self.backend
 
     def _ensure_native(self):
         """Build the C++ reader pool on FIRST streaming use — a consumer

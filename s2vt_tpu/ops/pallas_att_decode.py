@@ -24,7 +24,12 @@ scan path where the context is hoisted for free.
 
 Semantics match ``models/attention.py::teacher_forced``'s scan body
 (torch LSTM gate order i,f,g,o with both biases; Bahdanau additive scores)
-— verified by tests/test_pallas_att_decode.py.
+— verified by tests/test_pallas_att_decode.py. bf16 parity nuance: this
+kernel rounds enc_wh/enc_out themselves to bfloat16 for VMEM residency
+(enc_wh_r/enc_out_r below), while ``att_decode_sequence_scan`` keeps them
+float32 and only casts matmul OPERANDS — so in bf16 mode the two paths
+agree to bf16 tolerance, not bit-identically (the scan remains the
+semantic reference; f32 mode is bit-comparable).
 
 RECORDED A/B (one v5e, forward loop T=79, L=80, H=512; bench.py --att-ab,
 r3): B=16 f32 pallas 3.17 ms vs scan 3.08 ms; B=16 bf16 3.09 vs 3.10;

@@ -33,8 +33,26 @@ _config_threads: list = []   # watchers that land opt.json at commit time
 def _async_checkpointer():
     global _async_ckptr
     if _async_ckptr is None:
+        import threading
+
         import orbax.checkpoint as ocp
         _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        # The opt.json watcher threads are daemons: a process that exits
+        # right after a manual non-blocking save() (outside fit(), which
+        # ends with a blocking save) would otherwise commit the orbax tree
+        # but drop opt.json, and load_config would silently fall back to a
+        # default Opt. Plain atexit is too late — threading._shutdown runs
+        # first and concurrent.futures' _python_exit flips its shutdown
+        # flag, killing the in-flight orbax write itself ("cannot schedule
+        # new futures after shutdown"). threading._register_atexit
+        # callbacks run BEFORE that flag flips (reverse registration
+        # order), so the drain completes while executors still accept work.
+        register = getattr(threading, "_register_atexit", None)
+        if register is not None:
+            register(wait_for_saves)
+        else:   # future CPython without the private hook: best effort
+            import atexit
+            atexit.register(wait_for_saves)
     return _async_ckptr
 
 
