@@ -163,6 +163,26 @@ def _wordnet_synsets():
 Match = Tuple[int, int, int, int, int]
 
 
+def load_synsets(source) -> Dict[str, frozenset]:
+    """Build a word -> {synset ids} map from ``source``: an iterable of
+    synsets (each an iterable of mutually-synonymous words), or a path to
+    a text file with one space-separated synset per line ('#' comments and
+    blank lines skipped). This is WordNet's own shape — two words are
+    synonymous iff they share a synset — so the table drives the same
+    matcher logic as the nltk corpus and substitutes for it when the
+    corpus data is absent from the environment."""
+    if isinstance(source, (str, bytes)) or hasattr(source, "read"):
+        import pathlib
+        lines = pathlib.Path(source).read_text(encoding="utf-8").splitlines()
+        source = [ln.split() for ln in lines
+                  if ln.strip() and not ln.lstrip().startswith("#")]
+    table: Dict[str, set] = {}
+    for i, synset in enumerate(source):
+        for w in synset:
+            table.setdefault(w.lower(), set()).add(i)
+    return {w: frozenset(s) for w, s in table.items()}
+
+
 class _Aligner:
     """Meteor 1.5-style aligner (beam search, chunk-minimizing).
 
@@ -174,9 +194,16 @@ class _Aligner:
     """
 
     def __init__(self, beam: int = BEAM_WIDTH,
-                 paraphrases: Optional[ParaphraseTable] = None):
+                 paraphrases: Optional[ParaphraseTable] = None,
+                 synonyms=None):
         self.stemmer = _porter()
         self.wn = _wordnet_synsets()
+        self.syn_table: Dict[str, frozenset] = (
+            load_synsets(synonyms) if synonyms is not None else {})
+        self._syn_members: Dict[int, set] = {}
+        for word, ids in self.syn_table.items():
+            for i in ids:
+                self._syn_members.setdefault(i, set()).add(word)
         self.beam = beam
         self.paraphrases = paraphrases
         self._stem_cache: Dict[str, str] = {}
@@ -197,6 +224,8 @@ class _Aligner:
                 for ss in self.wn.synsets(w):
                     for lemma in ss.lemmas():
                         acc.add(lemma.name().lower())
+            for i in self.syn_table.get(w, ()):
+                acc.update(self._syn_members[i])
             syns = frozenset(acc)
             self._syn_cache[w] = syns
         return syns
@@ -209,7 +238,8 @@ class _Aligner:
             return 0
         if self._stem(hw) == self._stem(rw):
             return 1
-        if self.wn is not None and rw in self._synonyms(hw):
+        if ((self.wn is not None or self.syn_table)
+                and rw in self._synonyms(hw)):
             return 2
         return -1
 
@@ -349,7 +379,12 @@ class _Stats:
 class Meteor:
     def __init__(self, backend: str = "auto", jar_path: Optional[str] = None,
                  paraphrase_path: Optional[str] = None,
-                 function_words: Optional[Iterable[str]] = None):
+                 function_words: Optional[Iterable[str]] = None,
+                 synonyms=None):
+        """``synonyms``: an iterable of synsets or a path to a one-synset-
+        per-line file (see ``load_synsets``) — substitutes for the nltk
+        WordNet corpus when that data is absent (the matcher logic is
+        shared either way)."""
         self.jar_path = jar_path
         self.function_words = (frozenset(function_words)
                                if function_words is not None
@@ -360,7 +395,7 @@ class Meteor:
         if backend == "lite":
             table = (ParaphraseTable(paraphrase_path)
                      if paraphrase_path else None)
-            self.aligner = _Aligner(paraphrases=table)
+            self.aligner = _Aligner(paraphrases=table, synonyms=synonyms)
         elif backend == "jar":
             self._start_jar()
 

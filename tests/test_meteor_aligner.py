@@ -9,6 +9,7 @@ with hand-computed score oracles."""
 
 import gzip
 import itertools
+import pathlib
 
 import pytest
 
@@ -126,17 +127,69 @@ def test_reordering_penalized():
     assert per_same[0] > per_scrab[0] > 0.0
 
 
+SYNSET_FIXTURE = str(pathlib.Path(__file__).parent / "data"
+                     / "synsets_small.txt")
+
+
 def test_synonym_stage_weighted():
-    """WordNet synonyms match at stage weight 0.8 < exact 1.0 (when the
-    corpus is available; otherwise the pair simply doesn't match)."""
-    m = Meteor(backend="lite")
-    if m.aligner.wn is None:
-        pytest.skip("wordnet corpus unavailable")
+    """Synonyms match at stage weight 0.8 < exact 1.0. The nltk WordNet
+    corpus data is absent from this image, so the stage runs on the
+    vendored synset fixture through the same matcher code path
+    (``load_synsets``: two words match iff they share a synset — the
+    WordNet rule)."""
+    m = Meteor(backend="lite", synonyms=SYNSET_FIXTURE)
     _, per_syn = m.compute_score({"x": ["a large dog"]},
                                  {"x": ["a big dog"]})
     _, per_exact = m.compute_score({"x": ["a big dog"]},
                                    {"x": ["a big dog"]})
     assert 0.0 < per_syn[0] < per_exact[0]
+    # without the table (and without the corpus) the pair must NOT match:
+    # the synonym stage is what changes the score
+    m_none = Meteor(backend="lite")
+    if m_none.aligner.wn is None:
+        _, per_none = m_none.compute_score({"x": ["a large dog"]},
+                                           {"x": ["a big dog"]})
+        assert per_none[0] < per_syn[0]
+
+
+def test_synonym_stage_golden():
+    """Golden where the synonym stage changes the score (VERDICT r3 #5):
+    hyp 'a big dog' vs ref 'a large hound' — 'a' exact (stage 0),
+    big~large and dog~hound synonym (stage 2, weight 0.8). One chunk,
+    full coverage. Hand computation with delta=0.75, alpha=0.85,
+    gamma=0.6, beta=0.2:
+      weighted_h = weighted_r = 1.0*0.25 + 0.8*0.75 + 0.8*0.75 = 1.45
+      wlen_h = wlen_r = 0.25 + 0.75 + 0.75 = 1.75
+      p = r = 1.45/1.75; fmean = p*r/(a*p+(1-a)*r) = p
+      frag = 1/3; pen = 0.6*(1/3)^0.2
+      score = (1 - pen) * p
+    """
+    m = Meteor(backend="lite", synonyms=SYNSET_FIXTURE)
+    _, per = m.compute_score({"x": ["a large hound"]}, {"x": ["a big dog"]})
+    p = 1.45 / 1.75
+    want = (1.0 - GAMMA * (1.0 / 3.0) ** BETA) * p
+    assert per[0] == pytest.approx(want, abs=1e-9)
+    # stage weight matters: a fully-exact hyp scores strictly higher
+    _, per_exact = m.compute_score({"x": ["a large hound"]},
+                                   {"x": ["a large hound"]})
+    assert per_exact[0] > per[0]
+
+
+def test_load_synsets_from_iterable_and_transitivity():
+    """Dict building: words sharing a synset match; words in disjoint
+    synsets don't — and membership is per-synset, not transitive across
+    the whole table (WordNet semantics)."""
+    from s2vt_tpu.metrics.meteor import _Aligner
+    al = _Aligner(synonyms=[["big", "large"], ["large", "giant"],
+                            ["dog", "hound"]])
+    assert al.match_stage("big", "large") == 2
+    assert al.match_stage("large", "giant") == 2
+    assert al.match_stage("dog", "hound") == 2
+    if al.wn is None:
+        assert al.match_stage("big", "giant") == -1   # no shared synset
+        assert al.match_stage("big", "dog") == -1
+    # earliest-stage marking: exact beats synonym even when tabled
+    assert al.match_stage("big", "big") == 0
 
 
 # ----------------------------------------------------------------------
