@@ -741,13 +741,19 @@ def bench_serving_poly(iters: int, shapes=(16, 8, 24)) -> dict:
         out[f"serving_poly_clips_per_sec_b{b0}"] = round(
             b0 * iters / (time.perf_counter() - t0), 2)
 
-        # fixed-batch pad path: b0-row requests through a 2*b0 export
+        # fixed-batch pad path: b0-row requests through a 2*b0 export.
+        # Method-matched with the poly loop above (ADVICE r4): both sides
+        # time decode_tokens on an ndarray of the export dtype — the pad
+        # concatenate stays in the loop (a genuine per-request cost of
+        # serving b0 rows via a 2*b0 artifact), host detokenization and
+        # redundant astype copies are excluded from both.
         export_captioner(model, params, ix2word, specials, 2 * b0, d_fixed)
         scf = ServingCaptioner(d_fixed)
-        scf.caption(feats0[:b0])                   # compile
+        pad_rows = np.zeros((b0,) + feats0.shape[1:], feats0.dtype)
+        scf.decode_tokens(np.concatenate([feats0[:b0], pad_rows]))  # compile
         t0 = time.perf_counter()
         for _ in range(iters):
-            scf.caption(feats0[:b0])               # pads to 2*b0 inside
+            scf.decode_tokens(np.concatenate([feats0[:b0], pad_rows]))
         out[f"serving_fixedpad_clips_per_sec_b{b0}of{2*b0}"] = round(
             b0 * iters / (time.perf_counter() - t0), 2)
         return out
@@ -919,6 +925,7 @@ def main():
         stage that would be killed mid-flight."""
         if remaining() < est:
             extra[f"{key}_skipped"] = f"budget ({remaining():.0f}s left)"
+            art.snapshot()   # the skip marker must survive a SIGKILL too
             return None
         v = _run_stage(name, fn, *a, telemetry=extra,
                        timeout_s=min(timeout_s or T, max(remaining(), 1.0)),

@@ -102,14 +102,30 @@ def make_learnable_corpus(root: str, n_train: int = 1400, n_valid: int = 450,
             t = tuple(int(x) for x in t)
             if t not in seen:
                 break
+        else:
+            # appending the last collision would silently break the
+            # distinct-triples / held-out-unseen guarantee the gate tests
+            # rely on (ADVICE r4)
+            raise RuntimeError(
+                f"could not draw a fresh (s,v,o) triple for train clip {i} "
+                f"in 1000 tries; enlarge the atom catalogs")
         seen.add(t)
         triples.append(t)
+    misses = 0
     while len(triples) < n_total:
         t = (int(rng.integers(n_subjects)), int(rng.integers(n_verbs)),
              int(rng.integers(n_objects)))
         if t not in seen:
+            misses = 0
             seen.add(t)
             triples.append(t)
+        else:
+            misses += 1
+            if misses > 1000:   # same exhaustion guard as the train loop
+                raise RuntimeError(
+                    f"could not draw a fresh (s,v,o) triple for clip "
+                    f"{len(triples)} in 1000 tries; enlarge the atom "
+                    f"catalogs")
 
     root_p = pathlib.Path(root)
     feat_dir = root_p / "feats"

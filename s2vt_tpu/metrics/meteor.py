@@ -165,13 +165,14 @@ Match = Tuple[int, int, int, int, int]
 
 def load_synsets(source) -> Dict[str, frozenset]:
     """Build a word -> {synset ids} map from ``source``: an iterable of
-    synsets (each an iterable of mutually-synonymous words), or a path to
-    a text file with one space-separated synset per line ('#' comments and
-    blank lines skipped). This is WordNet's own shape — two words are
-    synonymous iff they share a synset — so the table drives the same
-    matcher logic as the nltk corpus and substitutes for it when the
-    corpus data is absent from the environment."""
-    if isinstance(source, (str, bytes)) or hasattr(source, "read"):
+    synsets (each an iterable of mutually-synonymous words), or a path
+    (str / os.PathLike) to a text file with one space-separated synset per
+    line ('#' comments and blank lines skipped). This is WordNet's own
+    shape — two words are synonymous iff they share a synset — so the
+    table drives the same matcher logic as the nltk corpus and substitutes
+    for it when the corpus data is absent from the environment."""
+    import os
+    if isinstance(source, (str, os.PathLike)):
         import pathlib
         lines = pathlib.Path(source).read_text(encoding="utf-8").splitlines()
         source = [ln.split() for ln in lines

@@ -172,7 +172,7 @@ class ServingCaptioner:
                                feats.dtype)
                 feats = np.concatenate([feats, pad], axis=0)
         toks = self.decode_tokens(
-            feats.astype(self.manifest["feats_dtype"]))
+            feats.astype(self.manifest["feats_dtype"], copy=False))
         # a leading <sos> (always present on the beam path's slot 0,
         # possible-in-principle on greedy) is stripped either way
         return [ids_to_sentence(toks[i], self.ix2word, self.eos_ix,
