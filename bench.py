@@ -1,8 +1,10 @@
 """Benchmark harness: the full north-star surface on one chip.
 
 Prints ONE JSON line. The headline metric stays the driver contract
-({"metric", "value", "unit", "vs_baseline"}); the "extra" field carries the
-rest of the BASELINE.md surface:
+({"metric", "value", "unit", "vs_baseline"}); the printed "extra" is the
+COMPACT core-key summary (<1.5KB so the driver's bounded stdout tail
+always parses it — VERDICT r4 #1), with the FULL extra snapshotted to
+BENCH_partial.json. The measured surface covers BASELINE.md:
 
  - caption decode clips/sec (S2VT greedy, the reference eval.py:30-60 path),
    as the MEDIAN of k timed repetitions with the spread recorded,
@@ -811,12 +813,42 @@ def _run_stage(name, fn, *args, timeout_s: float = 600.0, retries: int = 1,
     return None
 
 
+_CORE_KEYS = (
+    # The emitted line's ~15-key summary (VERDICT r4 #1): the driver
+    # captures a bounded tail of stdout, so the final line must stay
+    # compact (<1,500 chars) to land parsed in BENCH_r{N}.json. The FULL
+    # extra (every stage, spreads, trajectories) is always on disk in
+    # BENCH_partial.json — the emitted line says so.
+    "decode_clips_per_sec", "decode_clips_per_sec_spread",
+    "decode_vs_torch_cpu_b10_like_for_like",
+    "beam_clips_per_sec", "beam_vs_torch_cpu_b10_like_for_like",
+    "extract_clips_per_sec", "extract_clips_per_sec_resnet152",
+    "extract_clips_per_sec_inception_v4",
+    "train_step_ms_b16_pallas", "train_step_ms_b64_pallas",
+    "train_step_ms_b96_bf16_pallas",
+    "train_mfu_best", "train_mfu_best_config", "train_mfu_latency_bound",
+    "train_e2e_last_METEOR_b16", "train_e2e_gate_pass",
+    "train_e2e_last_METEOR_bf16",
+    "train_e2e_clips_per_sec_b16",
+    "serving_artifact_clips_per_sec_b16", "serving_exec_ms_b16",
+    "serving_device_resident_clips_per_sec_b16",
+    "decode_skipped",   # the headline value being null must be explained
+    "terminated_by_signal", "total_wall_s",
+)
+_EMIT_BUDGET_CHARS = 1450
+
+
 class _Artifact:
     """The driver-contract JSON line, emitted exactly once on stdout —
     at normal completion, or early on SIGTERM/SIGINT — and snapshotted to
     BENCH_partial.json after every stage so even a SIGKILL leaves the
     completed stages on disk (VERDICT r3 #1: a timeout must not forfeit
-    finished work)."""
+    finished work).
+
+    The emitted line is the COMPACT headline (core keys only, hard-capped
+    below the driver's stdout-tail capture); the snapshot file carries the
+    full extra. r4's lesson: a 3.3KB line truncates in the driver's tail
+    and lands `parsed: null` despite rc=0."""
 
     def __init__(self):
         self.extra = {}
@@ -833,6 +865,21 @@ class _Artifact:
             "extra": self.extra,
         }
 
+    def compact_payload(self) -> dict:
+        core = {k: self.extra[k] for k in _CORE_KEYS if k in self.extra}
+        n_skipped = sum(1 for k in self.extra if k.endswith("_skipped"))
+        if n_skipped:
+            core["skipped_stages"] = n_skipped
+        core["full_extra_in"] = "BENCH_partial.json"
+        p = dict(self.payload())
+        p["extra"] = core
+        # hard cap — drop trailing core keys before ever exceeding the
+        # stdout-tail budget (the pointer key is always kept)
+        droppable = [k for k in core if k != "full_extra_in"]
+        while droppable and len(json.dumps(p)) > _EMIT_BUDGET_CHARS:
+            core.pop(droppable.pop())
+        return p
+
     def snapshot(self):
         import os
         import tempfile
@@ -847,7 +894,9 @@ class _Artifact:
     def emit(self):
         if not self._emitted:
             self._emitted = True
-            print(json.dumps(self.payload()), flush=True)
+            self.snapshot()   # the full extra must be on disk before the
+            #   compact line claims it is
+            print(json.dumps(self.compact_payload()), flush=True)
 
     def install_signal_handlers(self):
         import signal

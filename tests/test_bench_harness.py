@@ -90,6 +90,38 @@ def test_artifact_snapshot_and_single_emit(tmp_path, monkeypatch, capsys):
                 if f.startswith(".bench_partial_")], "tmp snapshot leaked"
 
 
+def test_emit_is_compact_and_snapshot_carries_full_extra(tmp_path,
+                                                         monkeypatch,
+                                                         capsys):
+    """VERDICT r4 #1: the driver keeps only a bounded tail of stdout, so
+    the final line must stay under ~1.5KB no matter how much the run
+    measured. Core keys ride the line; everything lands in the snapshot
+    file the line points at."""
+    import json
+
+    monkeypatch.chdir(tmp_path)
+    art = bench._Artifact()
+    art.ours, art.vs = 45000.0, 4800.0
+    # bloat: 200 non-core keys plus every core key
+    for i in range(200):
+        art.extra[f"stage_{i:03d}_detail"] = round(i * 1.0101, 4)
+    for k in bench._CORE_KEYS:
+        art.extra[k] = 1.25
+    art.extra["train_e2e_gate_pass"] = True
+    art.emit()
+    line = capsys.readouterr().out.strip()
+    assert len(line) <= 1500, len(line)
+    payload = json.loads(line)
+    assert payload["value"] == 45000.0
+    assert payload["extra"]["full_extra_in"] == "BENCH_partial.json"
+    assert payload["extra"]["train_e2e_gate_pass"] is True
+    assert "stage_000_detail" not in payload["extra"]
+    # emit() wrote the full snapshot before printing the pointer
+    snap = json.load(open(tmp_path / "BENCH_partial.json"))
+    assert snap["extra"]["stage_000_detail"] == 0.0
+    assert len(snap["extra"]) >= 200
+
+
 def test_bench_zero_budget_still_prints_json(tmp_path):
     """Contract: `python bench.py` ALWAYS lands one parseable JSON line on
     stdout — with --budget 0 every stage is budget-skipped (recorded as
