@@ -109,6 +109,10 @@ class Opt:
     #   16 GB HBM); 'auto' enables it when the split fits the budget below,
     #   streaming mode remains for datasets that don't fit.
     feature_bank_max_bytes: int = 6 << 30
+    feature_bank_cache: bool = False  # keep uploaded banks in a process-
+    #   level cache keyed by dataset identity + device set, so repeated
+    #   Trainer runs over the same data (sweeps, benchmarks) skip the
+    #   multi-GB re-upload; the cached bank's HBM persists until exit.
     vocab_pad_multiple: int = 1  # pad vocab size up to a multiple (e.g. 128
     #   for MXU-friendly logits and tensor-parallel vocab sharding); padded
     #   indices never occur in captions and are masked out of decode.

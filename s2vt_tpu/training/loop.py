@@ -35,6 +35,10 @@ from s2vt_tpu.parallel import mesh as mesh_lib
 from s2vt_tpu.training.callbacks import EarlyStopping, ReduceLROnPlateau
 from s2vt_tpu.training.checkpoint import save_checkpoint
 
+# Process-level device-resident feature banks (see Trainer._bank_array):
+# (feats_dir, n_clips, feat_len, feat_dim, split, device_ids) -> jax.Array
+_BANK_CACHE: Dict[tuple, jax.Array] = {}
+
 
 def batch_loss(logits: jax.Array, labels: jax.Array, mask: jax.Array,
                valid: jax.Array, masked: bool = True) -> jax.Array:
@@ -160,10 +164,8 @@ class Trainer:
             # tunneled runtimes and can stall; 32MB slices (the
             # device_put_chunked default) stream fine.
             self._bank = {
-                "train": mesh_lib.device_put_chunked(
-                    self.train_ds.load_all_features(), rep),
-                "valid": mesh_lib.device_put_chunked(
-                    self.valid_ds.load_all_features(), rep),
+                "train": self._bank_array(self.train_ds, "train", rep),
+                "valid": self._bank_array(self.valid_ds, "valid", rep),
             }
 
         self._train_step = self._make_train_step()
@@ -177,6 +179,29 @@ class Trainer:
         self.writer = self._make_writer() if writer == "auto" else writer
 
     # ------------------------------------------------------------------
+
+    def _bank_array(self, ds, split: str, sharding):
+        """Upload (or re-use) one split's device-resident feature bank.
+
+        With ``opt.feature_bank_cache`` on, the uploaded array is kept in a
+        process-level cache keyed by the on-disk dataset identity and the
+        device set, so consecutive Trainer instances over the same data
+        (hyper-parameter sweeps, the bench's e2e stages) skip the multi-GB
+        host read + H2D upload — on a tunneled chip that is ~100s per run.
+        Off by default: the cache intentionally outlives the Trainer, which
+        keeps the bank's HBM resident until process exit."""
+        if not self.opt.feature_bank_cache:
+            return mesh_lib.device_put_chunked(ds.load_all_features(),
+                                               sharding)
+        key = (str(ds.feat_paths[0].parent), len(ds), ds.feat_len,
+               ds.feat_dim, split,
+               tuple(d.id for d in self.mesh.devices.flat))
+        cached = _BANK_CACHE.get(key)
+        if cached is None or cached.is_deleted():
+            cached = mesh_lib.device_put_chunked(ds.load_all_features(),
+                                                 sharding)
+            _BANK_CACHE[key] = cached
+        return cached
 
     def _make_writer(self):
         try:

@@ -28,7 +28,7 @@ SHAPE = dict(n_train=260, n_valid=60, n_test=24, n_subjects=20, n_verbs=12,
              n_objects=12, feat_len=12, feat_dim=64, seed=0)
 
 
-def _train_and_score(tmp_path, feats_path, info, tag, epochs):
+def _train_and_score(tmp_path, feats_path, info, tag, epochs, **kw):
     opt = Opt(caption_file=info["captions_file"], feats_path=feats_path,
               gts_file=info["gts_file"], train_length=12, dim_hidden=96,
               dim_embed=96, feat_dim=64, batch_size=16, eval_batch_size=16,
@@ -36,7 +36,7 @@ def _train_and_score(tmp_path, feats_path, info, tag, epochs):
               save_path=str(tmp_path / f"ckpt_{tag}"),
               log_dir=str(tmp_path / f"runs_{tag}"), model="s2vt", seed=0,
               early_stopping_patience=10000, learning_rate_patience=10000,
-              metric_eval_freq=0)
+              metric_eval_freq=0, **kw)
     tr = Trainer(opt, writer=None)
     epoch0 = tr._metric_eval(-1)          # random params: the floor
     tr.fit(epochs=epochs)
@@ -45,15 +45,21 @@ def _train_and_score(tmp_path, feats_path, info, tag, epochs):
 
 
 @pytest.mark.slow
-def test_heldout_generalization(tmp_path):
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_heldout_generalization(tmp_path, dtype):
+    """Both compute dtypes must clear the SAME band (VERDICT r4 #3): bf16
+    is what licenses the fused H=512 kernel as a training default, so its
+    evidence has to be quality-at-the-gate, not just step speed.
+    Calibration: f32 0.39 / 3.1 / 0.82 at epoch 60; bf16 within the same
+    band (matmul inputs round to bf16, state/accumulation stay f32)."""
     info = make_learnable_corpus(str(tmp_path / "corpus"), **SHAPE)
     # every atom must be trainable: vocab = atoms + template words + specials
     assert info["vocab_size"] >= 20 + 12 + 12 + 3
 
     epoch0, final = _train_and_score(tmp_path, info["feat_path"], info,
-                                     "real", epochs=60)
+                                     f"real_{dtype}", epochs=60,
+                                     compute_dtype=dtype)
     assert epoch0["METEOR"] < 0.08, epoch0
-    # learned band (calibration: 0.39 / 3.1 / 0.82 at epoch 60)
     assert final["METEOR"] > 0.25, final
     assert final["CIDEr"] > 1.2, final
     assert final["Bleu_1"] > 0.65, final

@@ -302,6 +302,34 @@ def test_feature_bank_matches_streaming(corpus, tmp_path):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_feature_bank_cache_reuses_upload_and_matches(corpus, tmp_path):
+    """feature_bank_cache=True: a second Trainer over the same dataset
+    re-uses the device-resident bank (no re-upload) and computes the
+    identical training trajectory."""
+    from s2vt_tpu.training import loop as loop_mod
+
+    loop_mod._BANK_CACHE.clear()
+    opt1 = small_opt(corpus, tmp_path, EPOCHS=2,
+                     save_path=str(tmp_path / "c1"),
+                     device_feature_bank="on", feature_bank_cache=True)
+    tr1 = Trainer(opt1, writer=None)
+    assert len(loop_mod._BANK_CACHE) == 2          # train + valid
+    cached_ids = {k: id(v) for k, v in loop_mod._BANK_CACHE.items()}
+    h1 = tr1.fit(epochs=2)
+
+    opt2 = small_opt(corpus, tmp_path, EPOCHS=2,
+                     save_path=str(tmp_path / "c2"),
+                     device_feature_bank="on", feature_bank_cache=True)
+    tr2 = Trainer(opt2, writer=None)
+    assert {k: id(v) for k, v in loop_mod._BANK_CACHE.items()} == cached_ids
+    assert tr2._bank["train"] is loop_mod._BANK_CACHE[
+        next(k for k in cached_ids if k[4] == "train")]
+    h2 = tr2.fit(epochs=2)
+    np.testing.assert_allclose(h1["train_loss"], h2["train_loss"],
+                               rtol=1e-6, atol=1e-7)
+    loop_mod._BANK_CACHE.clear()                   # don't leak into others
+
+
 def test_feature_bank_auto_threshold(corpus, tmp_path):
     """auto mode honours the byte budget: a budget below the split size
     routes to streaming."""
