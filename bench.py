@@ -70,7 +70,7 @@ E2E_GATE = {
     "meteor_min": 0.12,
     "real_band": (0.149, 0.169),
     "control_band": (0.085, 0.088),
-    "eval_freq": 25,        # evals at 24..149 for the default 150 epochs
+    "eval_freq": 25,        # evals at 24..99 for the default 100 epochs
     "eval_freq_bf16": 50,
 }
 
@@ -398,7 +398,7 @@ def train_matmul_flops(batch: int) -> float:
     return 3.0 * fwd
 
 
-def bench_dep_matmul_latency(batch: int, iters: int = 3,
+def bench_dep_matmul_latency(batch: int, iters: int = 10,
                              chain: int = 2000) -> float:
     """Measured per-step latency (µs) of a chain of DEPENDENT matmuls of
     the fused kernel's recurrent shape ([B, 2H] x [2H, 8H], bf16): step
@@ -1038,7 +1038,10 @@ def main():
     ap.add_argument("--beam-iters", type=int, default=3)
     ap.add_argument("--skip-beam", action="store_true")
     ap.add_argument("--extract-iters", type=int, default=8)
-    ap.add_argument("--train-iters", type=int, default=20)
+    # 100 chained iterations put ~0.4-4s of pure device time behind the
+    # single post-scan fetch, so per-step ms is immune to the tunnel's
+    # 20-100ms fetch-latency weather (20 iters measured +-20% run to run)
+    ap.add_argument("--train-iters", type=int, default=100)
     ap.add_argument("--baseline-batch", type=int, default=10)  # eval.py:27
     ap.add_argument("--baseline-iters", type=int, default=3)
     ap.add_argument("--skip-baseline", action="store_true")
@@ -1051,7 +1054,13 @@ def main():
     ap.add_argument("--skip-train-e2e", action="store_true",
                     help="skip the end-to-end Trainer.fit run over the "
                          "on-disk MSVD-scale learnable corpus")
-    ap.add_argument("--train-e2e-epochs", type=int, default=150)
+    # 100 epochs reaches the calibrated plateau (band entered ~epoch 80;
+    # gate threshold cleared by ~50 in BOTH dtypes) while keeping the
+    # two gated e2e stages ~110s cheaper — measured bad-link weather can
+    # eat ~400s of the budget in the front stages, and the gates must
+    # still land inside it (the 300-epoch plateau proof lives in the
+    # BASELINE.md calibration, not in every bench run).
+    ap.add_argument("--train-e2e-epochs", type=int, default=100)
     ap.add_argument("--skip-serving", action="store_true")
     ap.add_argument("--serving-iters", type=int, default=20)
     ap.add_argument("--full", action="store_true",
@@ -1251,7 +1260,7 @@ def main():
         # the full-size on-chip loop LEARNS, converges, and judges itself.
         stage("train e2e b16", "train_e2e_b16", bench_train_e2e,
               args.train_e2e_epochs, 16, "b16",
-              timeout_s=max(T, 1200.0), est=240.0, use_pallas=True,
+              timeout_s=max(T, 1200.0), est=330.0, use_pallas=True,
               lr=1e-3, metric_eval_freq=E2E_GATE["eval_freq"],
               eval_batch_size=90,
               learning_rate_patience=10000, early_stopping_patience=10000,
@@ -1263,11 +1272,19 @@ def main():
         # just that its step is faster. Shares the cached feature bank.
         stage("train e2e b16 bf16", "train_e2e_bf16", bench_train_e2e,
               args.train_e2e_epochs, 16, "bf16",
-              timeout_s=max(T, 1200.0), est=200.0, use_pallas=True,
+              timeout_s=max(T, 1200.0), est=150.0, use_pallas=True,
               lr=1e-3, metric_eval_freq=E2E_GATE["eval_freq_bf16"],
               eval_batch_size=90,
               learning_rate_patience=10000, early_stopping_patience=10000,
               feature_bank_cache=True, compute_dtype="bfloat16",
+              # f32 storage ONLY so this stage cache-hits the f32 stage's
+              # uploaded bank (the default bank_dtype='auto' would upload
+              # a separate half-size bf16 bank — the right call for a
+              # standalone bf16 run, ~2x faster setup, but ~60-90s
+              # slower here than reusing the resident f32 bank; the
+              # bf16-storage equivalence is pinned in
+              # tests/test_training.py::test_bank_dtype_*)
+              bank_dtype="float32",
               gate_meteor_min=E2E_GATE["meteor_min"],
               gate_key="train_e2e_gate_pass_bf16")
         extra["train_e2e_gate_calibration"] = {

@@ -110,9 +110,20 @@ class Opt:
     #   streaming mode remains for datasets that don't fit.
     feature_bank_max_bytes: int = 6 << 30
     feature_bank_cache: bool = False  # keep uploaded banks in a process-
-    #   level cache keyed by dataset identity + device set, so repeated
-    #   Trainer runs over the same data (sweeps, benchmarks) skip the
-    #   multi-GB re-upload; the cached bank's HBM persists until exit.
+    #   level cache keyed by dataset identity + device set + storage dtype,
+    #   so repeated Trainer runs over the same data (sweeps, benchmarks)
+    #   skip the multi-GB re-upload; the cached bank's HBM persists until
+    #   exit.
+    bank_dtype: str = "auto"  # dtype features are STORED in on device (and
+    #   transferred in, for both the bank upload and streaming batches):
+    #   'auto' follows compute_dtype — bf16 compute stores a bf16 bank,
+    #   halving the multi-GB upload, the bank's HBM footprint, and the
+    #   per-batch H2D bytes in streaming mode; 'float32' forces f32
+    #   storage. Numerically equivalent to storing f32: matmul operands
+    #   are cast to compute_dtype at point of use regardless
+    #   (ops/rnn.py::input_projection), so pre-casting moves the identical
+    #   rounding earlier (bit-identical when feat_dropout == 0, the
+    #   reference's configuration).
     vocab_pad_multiple: int = 1  # pad vocab size up to a multiple (e.g. 128
     #   for MXU-friendly logits and tensor-parallel vocab sharding); padded
     #   indices never occur in captions and are masked out of decode.

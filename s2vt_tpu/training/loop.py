@@ -153,11 +153,22 @@ class Trainer:
         # drops from [B, L, feat_dim] floats to a few KB of labels+rows
         # (the tunnel/PCIe link stops being the training bottleneck).
         # Streaming mode remains for datasets over the budget.
+        # Storage/transfer dtype for features (Opt.bank_dtype): bf16
+        # halves the bank upload + HBM and the streaming H2D payload,
+        # and is numerically equivalent because every matmul casts its
+        # operands to compute_dtype at use anyway.
+        bd = opt.bank_dtype if opt.bank_dtype != "auto" else opt.compute_dtype
+        if bd == "bfloat16":
+            import ml_dtypes
+            self._feat_store_dtype = np.dtype(ml_dtypes.bfloat16)
+        else:
+            self._feat_store_dtype = np.dtype(np.float32)
+
         fb = opt.device_feature_bank
+        stored_nbytes = ((self.train_ds.nbytes() + self.valid_ds.nbytes())
+                         * self._feat_store_dtype.itemsize // 4)
         self.use_feature_bank = fb == "on" or (
-            fb == "auto"
-            and self.train_ds.nbytes() + self.valid_ds.nbytes()
-            <= opt.feature_bank_max_bytes)
+            fb == "auto" and stored_nbytes <= opt.feature_bank_max_bytes)
         if self.use_feature_bank:
             rep = mesh_lib.replicate_sharding(self.mesh)
             # chunked upload: one multi-GB device_put is a single RPC on
@@ -190,16 +201,20 @@ class Trainer:
         host read + H2D upload — on a tunneled chip that is ~100s per run.
         Off by default: the cache intentionally outlives the Trainer, which
         keeps the bank's HBM resident until process exit."""
+        def load():
+            feats = ds.load_all_features()
+            if feats.dtype != self._feat_store_dtype:
+                feats = feats.astype(self._feat_store_dtype)
+            return feats
+
         if not self.opt.feature_bank_cache:
-            return mesh_lib.device_put_chunked(ds.load_all_features(),
-                                               sharding)
+            return mesh_lib.device_put_chunked(load(), sharding)
         key = (str(ds.feat_paths[0].parent), len(ds), ds.feat_len,
-               ds.feat_dim, split,
+               ds.feat_dim, split, self._feat_store_dtype.str,
                tuple(d.id for d in self.mesh.devices.flat))
         cached = _BANK_CACHE.get(key)
         if cached is None or cached.is_deleted():
-            cached = mesh_lib.device_put_chunked(ds.load_all_features(),
-                                                 sharding)
+            cached = mesh_lib.device_put_chunked(load(), sharding)
             _BANK_CACHE[key] = cached
         return cached
 
@@ -255,8 +270,12 @@ class Trainer:
             return mesh_lib.shard_batch_arrays(
                 self.mesh, batch.rows, batch.labels.astype(np.int32),
                 batch.mask, batch.valid)
+        feats = batch.feats
+        if feats.dtype != self._feat_store_dtype:
+            feats = feats.astype(self._feat_store_dtype)  # halves the
+            #   per-batch H2D payload when storing bf16
         return mesh_lib.shard_batch_arrays(
-            self.mesh, batch.feats, batch.labels.astype(np.int32),
+            self.mesh, feats, batch.labels.astype(np.int32),
             batch.mask, batch.valid)
 
     def _set_lr(self, lr: float) -> None:

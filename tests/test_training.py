@@ -302,6 +302,56 @@ def test_feature_bank_matches_streaming(corpus, tmp_path):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_bank_dtype_bf16_storage_matches_f32_storage(corpus, tmp_path):
+    """Opt.bank_dtype='auto' under bf16 compute stores the device bank in
+    bf16 (half the upload + HBM). Identical trajectory to f32 storage:
+    matmuls cast operands to compute_dtype at use anyway, so pre-casting
+    applies the same rounding earlier (bit-identical at feat_dropout=0)."""
+    kw = dict(EPOCHS=2, compute_dtype="bfloat16", device_feature_bank="on")
+    tr_auto = Trainer(small_opt(corpus, tmp_path, save_path=str(tmp_path / "a"),
+                                bank_dtype="auto", **kw), writer=None)
+    tr_f32 = Trainer(small_opt(corpus, tmp_path, save_path=str(tmp_path / "f"),
+                               bank_dtype="float32", **kw), writer=None)
+    assert tr_auto._bank["train"].dtype == jnp.bfloat16
+    assert tr_f32._bank["train"].dtype == jnp.float32
+    assert (tr_auto._bank["train"].nbytes * 2
+            == tr_f32._bank["train"].nbytes)
+    ha = tr_auto.fit(epochs=2)
+    hf = tr_f32.fit(epochs=2)
+    np.testing.assert_array_equal(ha["train_loss"], hf["train_loss"])
+    np.testing.assert_array_equal(ha["valid_loss"], hf["valid_loss"])
+
+
+def test_bank_dtype_streaming_transfer_matches_bank(corpus, tmp_path):
+    """Streaming mode transfers feature batches in the storage dtype too
+    (halved H2D payload) and still matches the bank trajectory."""
+    kw = dict(EPOCHS=2, compute_dtype="bfloat16")
+    tr_b = Trainer(small_opt(corpus, tmp_path, save_path=str(tmp_path / "b"),
+                             device_feature_bank="on", **kw), writer=None)
+    tr_s = Trainer(small_opt(corpus, tmp_path, save_path=str(tmp_path / "s"),
+                             device_feature_bank="off", **kw), writer=None)
+    assert tr_b.use_feature_bank and not tr_s.use_feature_bank
+    hb = tr_b.fit(epochs=2)
+    hs = tr_s.fit(epochs=2)
+    np.testing.assert_allclose(hb["train_loss"], hs["train_loss"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(hb["valid_loss"], hs["valid_loss"],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_bank_dtype_auto_threshold_uses_stored_bytes(corpus, tmp_path):
+    """'auto' bank gating budgets the STORED bytes: a dataset over the
+    f32 budget but under it at bf16 still gets the bank."""
+    probe = Trainer(small_opt(corpus, tmp_path, EPOCHS=1), writer=None)
+    nbytes_f32 = probe.train_ds.nbytes() + probe.valid_ds.nbytes()
+    budget = int(nbytes_f32 * 0.75)   # between bf16 (0.5x) and f32 (1x)
+    opt_f32 = small_opt(corpus, tmp_path, feature_bank_max_bytes=budget)
+    assert not Trainer(opt_f32, writer=None).use_feature_bank
+    opt_bf16 = small_opt(corpus, tmp_path, feature_bank_max_bytes=budget,
+                         compute_dtype="bfloat16")
+    assert Trainer(opt_bf16, writer=None).use_feature_bank
+
+
 def test_feature_bank_cache_reuses_upload_and_matches(corpus, tmp_path):
     """feature_bank_cache=True: a second Trainer over the same dataset
     re-uses the device-resident bank (no re-upload) and computes the
