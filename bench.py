@@ -429,10 +429,16 @@ def bench_dep_matmul_latency(batch: int, iters: int = 10,
         return h
 
     _ = np.asarray(run(h0, W, chain))                     # compile
-    t0 = time.perf_counter()
+    # A latency FLOOR wants the best-case repetition: per-rep wall times
+    # include tunnel fetch weather (+20-100ms) and device-state variance
+    # (mean-of-reps measured 28.5/33.6/39.3 µs across three same-day
+    # runs); min-of-reps is the defensible bound estimate.
+    reps = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         _ = np.asarray(run(h0, W, chain))
-    return (time.perf_counter() - t0) / (iters * chain) * 1e6
+        reps.append(time.perf_counter() - t0)
+    return min(reps) / chain * 1e6
 
 
 def train_latency_bound_ms(per_step_us: float) -> float:
