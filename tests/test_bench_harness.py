@@ -151,3 +151,18 @@ def test_bench_zero_budget_still_prints_json(tmp_path):
     assert payload["value"] is None
     assert payload["extra"]["decode_skipped"].startswith("budget")
     assert (tmp_path / "BENCH_partial.json").exists()
+
+
+def test_e2e_gate_threshold_sits_between_calibrated_bands():
+    """The self-judging e2e gate is only meaningful if meteor_min separates
+    the on-chip calibrated bands (BASELINE.md §learning-gate calibration):
+    above everything a feature-blind model reaches, below the weakest
+    post-plateau real point. Guards future edits to E2E_GATE."""
+    g = bench.E2E_GATE
+    control_lo, control_hi = g["control_band"]
+    real_lo, real_hi = g["real_band"]
+    assert control_hi < g["meteor_min"] < real_lo
+    # margin both ways: >=25% over the control ceiling, >=15% under the
+    # weakest real plateau point (the calibrated values give ~35%/~20%)
+    assert g["meteor_min"] >= control_hi * 1.25
+    assert g["meteor_min"] <= real_lo * 0.85
