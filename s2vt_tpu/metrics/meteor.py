@@ -165,20 +165,35 @@ Match = Tuple[int, int, int, int, int]
 
 def load_synsets(source) -> Dict[str, frozenset]:
     """Build a word -> {synset ids} map from ``source``: an iterable of
-    synsets (each an iterable of mutually-synonymous words), or a path
-    (str / os.PathLike) to a text file with one space-separated synset per
-    line ('#' comments and blank lines skipped). This is WordNet's own
+    synsets (each an iterable of mutually-synonymous words, or one
+    space-separated line), a path (str / os.PathLike), or an open file
+    object, the latter two holding one space-separated synset per line
+    ('#' comments and blank lines skipped). This is WordNet's own
     shape — two words are synonymous iff they share a synset — so the
     table drives the same matcher logic as the nltk corpus and substitutes
     for it when the corpus data is absent from the environment."""
     import os
-    if isinstance(source, (str, os.PathLike)):
+    if hasattr(source, "read"):        # open file object -> its content
+        text = source.read()
+        if isinstance(text, bytes):
+            text = text.decode("utf-8")
+        source = text.splitlines()
+    elif isinstance(source, (str, os.PathLike)):   # path -> its content
         import pathlib
-        lines = pathlib.Path(source).read_text(encoding="utf-8").splitlines()
-        source = [ln.split() for ln in lines
-                  if ln.strip() and not ln.lstrip().startswith("#")]
+        source = pathlib.Path(source).read_text(
+            encoding="utf-8").splitlines()
+    # source is now an iterable of synsets; a str element is one
+    # space-separated file line (a bare word iterates character-wise,
+    # so lines must be split here, never passed through)
+    parsed = []
+    for synset in source:
+        if isinstance(synset, str):
+            if not synset.strip() or synset.lstrip().startswith("#"):
+                continue
+            synset = synset.split()
+        parsed.append(synset)
     table: Dict[str, set] = {}
-    for i, synset in enumerate(source):
+    for i, synset in enumerate(parsed):
         for w in synset:
             table.setdefault(w.lower(), set()).add(i)
     return {w: frozenset(s) for w, s in table.items()}

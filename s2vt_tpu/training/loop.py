@@ -209,8 +209,21 @@ class Trainer:
 
         if not self.opt.feature_bank_cache:
             return mesh_lib.device_put_chunked(load(), sharding)
-        key = (str(ds.feat_paths[0].parent), len(ds), ds.feat_len,
-               ds.feat_dim, split, self._feat_store_dtype.str,
+        # The key must pin the bank's CONTENT and ROW ORDER, not just its
+        # shape: row order comes from the captions file's clip list, and
+        # a corpus regenerated in-place (same path, same counts, new
+        # data) must miss. Hash the ordered file names + (mtime, size)
+        # of every feature file — ~2k stats is microseconds vs a
+        # multi-GB re-upload, and a stale hit silently trains features
+        # against the wrong labels.
+        import hashlib
+        ident = hashlib.sha1()
+        for p in ds.feat_paths:
+            st = p.stat()
+            ident.update(f"{p.name}|{st.st_mtime_ns}|{st.st_size};"
+                         .encode())
+        key = (str(ds.feat_paths[0].parent), ident.hexdigest(), len(ds),
+               ds.feat_len, ds.feat_dim, split, self._feat_store_dtype.str,
                tuple(d.id for d in self.mesh.devices.flat))
         cached = _BANK_CACHE.get(key)
         if cached is None or cached.is_deleted():

@@ -22,10 +22,13 @@ import sys
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-
 
 def main(pid: int, nprocs: int, port: str) -> None:
+    # force CPU before first backend use (the ambient sitecustomize would
+    # otherwise attach the real TPU); done here rather than at module
+    # import so the PARENT harnesses below can import this module without
+    # touching their own jax platform
+    jax.config.update("jax_platforms", "cpu")
     from s2vt_tpu.parallel.distributed import (host_local_batch_to_global,
                                                initialize, local_batch_size)
 
@@ -91,6 +94,105 @@ def main(pid: int, nprocs: int, port: str) -> None:
                       for x in jax.tree_util.tree_leaves(params)))
     print(f"RESULT {pid} {float(loss0):.8f} {float(loss1):.8f} "
           f"{float(pn):.8f}", flush=True)
+
+
+# ---------------------------------------------------------------------
+# Parent-side harness, shared by tests/test_distributed_multiprocess.py
+# and __graft_entry__._dryrun_two_process so the driver artifact and the
+# slow-suite test certify ONE code path.
+
+def _free_port() -> int:
+    import socket
+    s = socket.socket()
+    s.bind(("", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _result_line(out: str, err: str = "") -> tuple:
+    for line in out.splitlines():
+        if line.startswith("RESULT "):
+            return tuple(float(x) for x in line.split()[2:])
+    raise RuntimeError(f"no RESULT line from dist worker:\n{out}\n"
+                       f"{err[-2000:]}")
+
+
+def run_topology_check(timeout: float = 300.0) -> tuple:
+    """Run this worker as 2 processes x 4 virtual CPU devices (real
+    ``jax.distributed`` coordinator on localhost, cross-process gloo
+    collectives) and as 1 process x 8 devices, and assert both steps'
+    losses and the post-update parameter norm agree to f32-reduction
+    precision — multi-host data parallelism must be arithmetically
+    invisible.
+
+    Robustness: the two workers' pipes are drained CONCURRENTLY (worker A
+    can block writing a full stderr pipe while worker B waits for it
+    inside a collective), and any timeout/failure kills every worker
+    before propagating (a leftover jax process silently blocks the next
+    device user — CLAUDE.md). Returns (two_process_result,
+    single_process_result) after its own tolerance check, for callers
+    that want to print them."""
+    import os
+    import subprocess
+    from concurrent.futures import ThreadPoolExecutor
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.abspath(__file__)
+
+    def env_for(n_local: int) -> dict:
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count="
+                            f"{n_local}")
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        env.pop("_S2VT_DRYRUN_CHILD", None)
+        return env
+
+    port = _free_port()
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=env_for(4), cwd=repo) for pid in (0, 1)]
+    results = []
+    try:
+        with ThreadPoolExecutor(len(procs)) as ex:
+            futs = [ex.submit(p.communicate, timeout=timeout)
+                    for p in procs]
+            outs = [f.result(timeout=timeout + 30) for f in futs]
+        for p, (out, err) in zip(procs, outs):
+            if p.returncode != 0:
+                raise RuntimeError(f"dist worker failed "
+                                   f"(rc={p.returncode}):\n{err[-2000:]}")
+            results.append(_result_line(out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for p in procs:
+            try:
+                p.wait(timeout=10)
+            except Exception:
+                pass
+    if results[0] != results[1]:
+        raise AssertionError(
+            f"SPMD processes disagree: {results[0]} vs {results[1]}")
+
+    single = subprocess.run(
+        [sys.executable, worker, "0", "1", str(port)],
+        capture_output=True, text=True, timeout=timeout, env=env_for(8),
+        cwd=repo)
+    if single.returncode != 0:
+        raise RuntimeError(f"single-process worker failed "
+                           f"(rc={single.returncode}):\n"
+                           f"{single.stderr[-2000:]}")
+    ref = _result_line(single.stdout, single.stderr)
+    for got, want in zip(ref, results[0]):
+        # cross-process gloo all-reduce vs in-process reduction may differ
+        # in the last f32 ulps (summation order); nothing more
+        if abs(got - want) > 1e-6 * max(abs(want), 1.0):
+            raise AssertionError(
+                f"2-process != 1-process: {results[0]} vs {ref}")
+    return results[0], ref
 
 
 if __name__ == "__main__":

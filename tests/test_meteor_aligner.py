@@ -192,6 +192,28 @@ def test_load_synsets_from_iterable_and_transitivity():
     assert al.match_stage("big", "big") == 0
 
 
+def test_load_synsets_source_forms_agree(tmp_path):
+    """Path (str and PathLike), open file object, and iterable-of-line-
+    strings all parse to the same table — and never the character-wise
+    mis-parse an iterated file handle would produce."""
+    import io
+
+    from s2vt_tpu.metrics.meteor import load_synsets
+
+    text = "# comment\nbig large\n\ndog hound canine\n"
+    path = tmp_path / "synsets.txt"
+    path.write_text(text)
+    want = load_synsets([["big", "large"], ["dog", "hound", "canine"]])
+    assert load_synsets(str(path)) == want
+    assert load_synsets(path) == want
+    assert load_synsets(io.StringIO(text)) == want
+    assert load_synsets(io.BytesIO(text.encode())) == want
+    with open(path) as fh:
+        assert load_synsets(fh) == want
+    assert load_synsets(text.splitlines()) == want
+    assert "b" not in load_synsets(io.StringIO(text))   # no char-wise parse
+
+
 # ----------------------------------------------------------------------
 # paraphrase stage (synthetic table; the real paraphrase-en.gz is a data
 # blob — the stage logic is what these tests pin down)

@@ -373,11 +373,39 @@ def test_feature_bank_cache_reuses_upload_and_matches(corpus, tmp_path):
     tr2 = Trainer(opt2, writer=None)
     assert {k: id(v) for k, v in loop_mod._BANK_CACHE.items()} == cached_ids
     assert tr2._bank["train"] is loop_mod._BANK_CACHE[
-        next(k for k in cached_ids if k[4] == "train")]
+        next(k for k in cached_ids if "train" in k)]
     h2 = tr2.fit(epochs=2)
     np.testing.assert_allclose(h1["train_loss"], h2["train_loss"],
                                rtol=1e-6, atol=1e-7)
     loop_mod._BANK_CACHE.clear()                   # don't leak into others
+
+
+def test_feature_bank_cache_misses_on_regenerated_features(tmp_path):
+    """A corpus regenerated in-place (same path, same shapes, NEW feature
+    content) must MISS the process-level bank cache: the key hashes every
+    feature file's (name, mtime_ns, size), because a stale hit would
+    silently train the old features against the new labels/rows."""
+    from s2vt_tpu.training import loop as loop_mod
+
+    c = make_synthetic_corpus(str(tmp_path / "mc"), n_videos=8, feat_len=10,
+                              feat_dim=12, seed=5)
+    loop_mod._BANK_CACHE.clear()
+    kw = dict(device_feature_bank="on", feature_bank_cache=True)
+    tr1 = Trainer(small_opt(c, tmp_path, save_path=str(tmp_path / "m1"),
+                            **kw), writer=None)
+    assert len(loop_mod._BANK_CACHE) == 2
+    bank1 = tr1._bank["train"]
+
+    # regenerate the features in place: same names, same shapes
+    import pathlib
+    for feat in pathlib.Path(c["feat_path"]).glob("*.npy"):
+        np.save(feat, np.load(feat) + 1.0)
+
+    tr2 = Trainer(small_opt(c, tmp_path, save_path=str(tmp_path / "m2"),
+                            **kw), writer=None)
+    assert tr2._bank["train"] is not bank1         # cache MISSED
+    assert len(loop_mod._BANK_CACHE) == 4          # old + new keys
+    loop_mod._BANK_CACHE.clear()
 
 
 def test_feature_bank_auto_threshold(corpus, tmp_path):
