@@ -4,9 +4,11 @@ ONE recurrent matmul per time step.
 The S2VT recurrence (reference S2VTModel.py:63-81) is two stacked LSTMs
 where word_rnn's step-t input contains vid_rnn's step-t OUTPUT. Run
 separately that is 2 x (2L-1) dependent matmuls; the per-step cost on TPU
-is dominated by dependent-matmul latency (~10us) and is nearly independent
-of the matmul size (measured: [64,512]x[512,2048] and [64,1024]x[1024,8192]
-both ~11us/step). This kernel therefore SOFTWARE-PIPELINES the two chains
+is dominated by dependent-matmul latency and is nearly independent of the
+matmul size (clean slope-measured value: ~14us/step for
+[96,1024]x[1024,4096] bf16, bench.py::bench_dep_matmul_latency — the
+matmul's FLOPs alone would take ~4us at peak, the rest is systolic
+fill/drain no schedule can hide). This kernel therefore SOFTWARE-PIPELINES the two chains
 by one step and fuses their recurrent projections into a single
 [B, 2H] x [2H, 8H] matmul:
 

@@ -122,6 +122,34 @@ def test_emit_is_compact_and_snapshot_carries_full_extra(tmp_path,
     assert len(snap["extra"]) >= 200
 
 
+def test_compact_trim_never_drops_explanatory_keys(tmp_path, monkeypatch,
+                                                   capsys):
+    """When the compact line must trim to fit the stdout-tail budget, the
+    keys that make a degraded artifact self-describing (skip reason,
+    signal, wall clock, skip count, snapshot pointer) survive; throughput
+    detail is what gets dropped."""
+    import json
+
+    monkeypatch.chdir(tmp_path)
+    art = bench._Artifact()
+    art.ours, art.vs = None, None
+    # every core key present with values long enough to force trimming
+    for k in bench._CORE_KEYS:
+        art.extra[k] = "x" * 120
+    art.extra["decode_skipped"] = "budget (wedged upload, retried once)"
+    art.extra["terminated_by_signal"] = 15
+    art.extra["total_wall_s"] = 1499.9
+    art.extra["some_stage_skipped"] = "budget"
+    art.emit()
+    payload = json.loads(capsys.readouterr().out.strip())
+    assert len(json.dumps(payload)) <= 1500
+    for k in ("decode_skipped", "terminated_by_signal", "total_wall_s",
+              "skipped_stages", "full_extra_in"):
+        assert k in payload["extra"], k
+    # and something droppable was in fact dropped
+    assert len(payload["extra"]) < len(bench._CORE_KEYS) + 2
+
+
 def test_bench_zero_budget_still_prints_json(tmp_path):
     """Contract: `python bench.py` ALWAYS lands one parseable JSON line on
     stdout — with --budget 0 every stage is budget-skipped (recorded as
