@@ -158,27 +158,68 @@ class ServingCaptioner:
         """Raw token ids for exactly one exported-shape batch."""
         return np.asarray(self._call(self.params, feats))
 
-    def decode_tokens_timed(self, feats: np.ndarray):
+    def decode_tokens_timed(self, feats: np.ndarray, exec_chain=(6, 18)):
         """One request with its phase breakdown: returns (tokens, timings)
-        where timings = {h2d_ms, exec_ms, d2h_ms} — feats upload, device
-        compute (blocked), token fetch. On a tunneled/remote device each
-        block is an RPC round trip, so this attributes a request's wall
-        time to link vs compute (the 45k-clips/s on-chip decode vs
-        ~30-clips/s per-request serving gap is link-bound; VERDICT r4 #5
-        asked the artifact itself to say so with numbers)."""
+        where timings = {h2d_ms, exec_ms, d2h_ms, device_ms}, attributing
+        a request's wall time to link vs compute (the 45k-clips/s on-chip
+        decode vs ~10-30-clips/s per-request serving gap is link-bound;
+        VERDICT r4 #5 asked the artifact itself to say so with numbers).
+
+        Sync discipline: ``block_until_ready`` is NOT a synchronization
+        point on tunneled/remote runtimes — it returns immediately on
+        remote arrays — so every phase boundary here is a FETCH:
+
+         - ``h2d_ms``: feats upload + a one-element arrival probe;
+         - ``device_ms``: execute + fetch of the token matrix — the
+           request's real device turnaround (execute and fetch are
+           inseparable per-request through a link);
+         - ``exec_ms``: the per-call pure-execute time, measured by a
+           two-length pipelined-chain slope — N dependent calls (call
+           i's input is perturbed by call i-1's tokens plus the call
+           index, so no dispatch repeats an identical execution)
+           submitted async with ONE fetch at the end;
+           (t_long - t_short) / (n_long - n_short) cancels the
+           dispatch+fetch constant exactly;
+         - ``d2h_ms``: device_ms - exec_ms, the fetch/RPC share.
+        """
         import time
+        if getattr(self, "_mix", None) is None:
+            self._mix = jax.jit(
+                lambda f, t, i: f + ((jnp.sum(t) % 2).astype(f.dtype)
+                                     + i.astype(f.dtype))
+                * jnp.asarray(1e-7, f.dtype))
+
         t0 = time.perf_counter()
         dev = jax.device_put(feats)
-        jax.block_until_ready(dev)
+        _ = np.asarray(dev[0, 0, 0])          # arrival probe (real sync)
         t1 = time.perf_counter()
-        out = self._call(self.params, dev)
-        jax.block_until_ready(out)
+        out = self._call(self.params, dev)    # the request itself
+        toks = np.asarray(out)                # execute + token fetch
         t2 = time.perf_counter()
-        toks = np.asarray(out)
-        t3 = time.perf_counter()
+
+        # warm the mixer's compile OUTSIDE the timed chains (it would
+        # otherwise land in whichever chain runs first and survive the
+        # slope subtraction)
+        _ = np.asarray(self._call(self.params,
+                                  self._mix(dev, out, jnp.float32(0.0))))
+
+        def chain_s(n: int) -> float:
+            o = out
+            tc = time.perf_counter()
+            for i in range(n):
+                d = self._mix(dev, o, jnp.float32(i))
+                o = self._call(self.params, d)
+            _ = np.asarray(o)                 # one sync for the chain
+            return time.perf_counter() - tc
+
+        short, long = exec_chain
+        exec_ms = max(
+            (chain_s(long) - chain_s(short)) / (long - short) * 1e3, 0.0)
+        device_ms = (t2 - t1) * 1e3
         return toks, {"h2d_ms": (t1 - t0) * 1e3,
-                      "exec_ms": (t2 - t1) * 1e3,
-                      "d2h_ms": (t3 - t2) * 1e3}
+                      "exec_ms": exec_ms,
+                      "d2h_ms": max(device_ms - exec_ms, 0.0),
+                      "device_ms": device_ms}
 
     def caption(self, feats: np.ndarray) -> List[str]:
         """Caption a batch of clips. Fixed-shape artifacts zero-pad ragged

@@ -227,6 +227,16 @@ class Trainer:
                tuple(d.id for d in self.mesh.devices.flat))
         cached = _BANK_CACHE.get(key)
         if cached is None or cached.is_deleted():
+            # Evict superseded entries for the same (feats dir, split,
+            # dtype, devices) slot — a regenerated corpus would otherwise
+            # pin its predecessor's multi-GB bank in HBM for the process
+            # lifetime. Pop only (no .delete()): an earlier Trainer may
+            # still legitimately hold the old bank; its HBM frees when
+            # that reference dies.
+            slot = (key[0], key[5], key[6], key[7])
+            for k in [k for k in _BANK_CACHE
+                      if (k[0], k[5], k[6], k[7]) == slot]:
+                _BANK_CACHE.pop(k)
             cached = mesh_lib.device_put_chunked(load(), sharding)
             _BANK_CACHE[key] = cached
         return cached

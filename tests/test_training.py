@@ -404,7 +404,13 @@ def test_feature_bank_cache_misses_on_regenerated_features(tmp_path):
     tr2 = Trainer(small_opt(c, tmp_path, save_path=str(tmp_path / "m2"),
                             **kw), writer=None)
     assert tr2._bank["train"] is not bank1         # cache MISSED
-    assert len(loop_mod._BANK_CACHE) == 4          # old + new keys
+    # ...and the superseded banks were EVICTED, not pinned alongside the
+    # new ones (a regenerated corpus must not leak multi-GB HBM entries)
+    assert len(loop_mod._BANK_CACHE) == 2
+    assert all(v is not bank1
+               for v in loop_mod._BANK_CACHE.values())
+    # the old Trainer's own reference is untouched (no forced delete)
+    assert not bank1.is_deleted()
     loop_mod._BANK_CACHE.clear()
 
 
