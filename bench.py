@@ -838,21 +838,33 @@ def bench_serving(batch: int, iters: int, mode: str = "greedy") -> dict:
         # device) is batch / pure-exec — the gap between it and
         # serving_artifact_clips_per_sec is the per-request transfer+RPC
         # tax, stated in the artifact itself.
-        phases = {"h2d_ms": [], "exec_ms": [], "d2h_ms": [],
-                  "device_ms": []}
-        for _ in range(max(iters // 2, 3)):
-            _, t = sc.decode_tokens_timed(feats)
-            for k, v in t.items():
-                phases[k].append(v)
+        phases = {"h2d_ms": [], "device_ms": []}
+        exec_ms = d2h_ms = None
+        for rep in range(max(iters // 2, 3)):
+            # the exec slope costs ~24 extra executions — measure it on
+            # the first replay only; later replays re-sample only the
+            # link-weather phases (h2d / device turnaround)
+            _, t = sc.decode_tokens_timed(
+                feats, exec_chain=(40, 120) if rep == 0 else None)
+            for k in phases:
+                phases[k].append(t[k])
+            if rep == 0:
+                exec_ms, d2h_ms = t["exec_ms"], t["d2h_ms"]
         for k, v in phases.items():
             out[f"serving_{k}_{key}"] = round(statistics.median(v), 2)
+        out[f"serving_exec_ms_{key}"] = round(exec_ms, 2)
+        out[f"serving_d2h_ms_{key}"] = round(d2h_ms, 2)
         out[f"serving_request_ms_{key}"] = round(
             statistics.median(phases["h2d_ms"])
             + statistics.median(phases["device_ms"]), 2)
-        exec_ms = statistics.median(phases["exec_ms"])
         if exec_ms > 0:
             out[f"serving_device_resident_clips_per_sec_{key}"] = round(
                 batch / exec_ms * 1e3, 2)
+        else:
+            # a degraded measurement must be distinguishable from a key
+            # that never existed (skipped-and-recorded discipline)
+            out[f"serving_device_resident_note_{key}"] = (
+                "exec slope <= 0 (degenerate measurement)")
         return out
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)

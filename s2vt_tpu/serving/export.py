@@ -158,7 +158,8 @@ class ServingCaptioner:
         """Raw token ids for exactly one exported-shape batch."""
         return np.asarray(self._call(self.params, feats))
 
-    def decode_tokens_timed(self, feats: np.ndarray, exec_chain=(6, 18)):
+    def decode_tokens_timed(self, feats: np.ndarray,
+                            exec_chain=(40, 120)):
         """One request with its phase breakdown: returns (tokens, timings)
         where timings = {h2d_ms, exec_ms, d2h_ms, device_ms}, attributing
         a request's wall time to link vs compute (the 45k-clips/s on-chip
@@ -174,20 +175,39 @@ class ServingCaptioner:
            request's real device turnaround (execute and fetch are
            inseparable per-request through a link);
          - ``exec_ms``: the per-call pure-execute time, measured by a
-           two-length pipelined-chain slope — N dependent calls (call
-           i's input is perturbed by call i-1's tokens plus the call
-           index, so no dispatch repeats an identical execution)
+           two-length pipelined-chain slope — N dependent calls
            submitted async with ONE fetch at the end;
            (t_long - t_short) / (n_long - n_short) cancels the
-           dispatch+fetch constant exactly;
+           dispatch+fetch constant exactly. Every chain call's input is
+           made unique by WRITING a distinct nonce into one feature
+           element (exactly representable in any feats dtype — an
+           additive epsilon would round away entirely in bf16) plus a
+           token-dependent term that chains each call to its
+           predecessor, and the nonce ranges of the warm call, the
+           short chain, and the long chain are disjoint, so no dispatch
+           in the whole measurement repeats an identical execution that
+           a caching tunnel could elide;
          - ``d2h_ms``: device_ms - exec_ms, the fetch/RPC share.
+
+        Pass ``exec_chain=None`` to skip the slope (the chains cost
+        ~short+long extra executions) and get only h2d_ms/device_ms —
+        for replay loops that re-measure the transfer phases but need
+        the exec slope just once.
         """
         import time
         if getattr(self, "_mix", None) is None:
+            # Every chain call's input is made unique by WRITING a
+            # two-element nonce (a, b) into the first feature row: a
+            # encodes the within-chain index (x2, so the +0/+1 token-
+            # parity term that chains call i to call i-1's output can't
+            # collide adjacent indices) and b the (chain, rep) id. All
+            # values stay below 256 so they are exactly representable
+            # even in bf16 feats (an additive epsilon would round away).
             self._mix = jax.jit(
-                lambda f, t, i: f + ((jnp.sum(t) % 2).astype(f.dtype)
-                                     + i.astype(f.dtype))
-                * jnp.asarray(1e-7, f.dtype))
+                lambda f, t, a, b: f.at[0, 0, 0].set(
+                    a.astype(f.dtype)
+                    + (jnp.sum(t) % 2).astype(f.dtype))
+                .at[0, 0, 1].set(b.astype(f.dtype)))
 
         t0 = time.perf_counter()
         dev = jax.device_put(feats)
@@ -196,30 +216,39 @@ class ServingCaptioner:
         out = self._call(self.params, dev)    # the request itself
         toks = np.asarray(out)                # execute + token fetch
         t2 = time.perf_counter()
+        device_ms = (t2 - t1) * 1e3
+        timings = {"h2d_ms": (t1 - t0) * 1e3, "device_ms": device_ms}
+        if exec_chain is None:
+            return toks, timings
 
+        short, long = exec_chain
+        assert 2 * long < 250, exec_chain
         # warm the mixer's compile OUTSIDE the timed chains (it would
         # otherwise land in whichever chain runs first and survive the
-        # slope subtraction)
-        _ = np.asarray(self._call(self.params,
-                                  self._mix(dev, out, jnp.float32(0.0))))
+        # slope subtraction); b=0 is reserved for the warm call
+        _ = np.asarray(self._call(
+            self.params, self._mix(dev, out, jnp.float32(252.0),
+                                   jnp.float32(0.0))))
 
-        def chain_s(n: int) -> float:
+        def chain_s(n: int, b: int) -> float:
             o = out
             tc = time.perf_counter()
             for i in range(n):
-                d = self._mix(dev, o, jnp.float32(i))
+                d = self._mix(dev, o, jnp.float32(2 * i),
+                              jnp.float32(b))
                 o = self._call(self.params, d)
             _ = np.asarray(o)                 # one sync for the chain
             return time.perf_counter() - tc
 
-        short, long = exec_chain
-        exec_ms = max(
-            (chain_s(long) - chain_s(short)) / (long - short) * 1e3, 0.0)
-        device_ms = (t2 - t1) * 1e3
-        return toks, {"h2d_ms": (t1 - t0) * 1e3,
-                      "exec_ms": exec_ms,
-                      "d2h_ms": max(device_ms - exec_ms, 0.0),
-                      "device_ms": device_ms}
+        # min over 3 reps per length: one link-weather spike in a single
+        # rep would otherwise flip the slope sign (measured); a floor
+        # wants the best case on both sides
+        t_long = min(chain_s(long, 1 + 2 * r) for r in range(3))
+        t_short = min(chain_s(short, 2 + 2 * r) for r in range(3))
+        exec_ms = max((t_long - t_short) / (long - short) * 1e3, 0.0)
+        timings["exec_ms"] = exec_ms
+        timings["d2h_ms"] = max(device_ms - exec_ms, 0.0)
+        return toks, timings
 
     def caption(self, feats: np.ndarray) -> List[str]:
         """Caption a batch of clips. Fixed-shape artifacts zero-pad ragged

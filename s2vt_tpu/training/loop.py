@@ -217,29 +217,44 @@ class Trainer:
         # multi-GB re-upload, and a stale hit silently trains features
         # against the wrong labels.
         import hashlib
-        ident = hashlib.sha1()
+        stats = []
         for p in ds.feat_paths:
             st = p.stat()
-            ident.update(f"{p.name}|{st.st_mtime_ns}|{st.st_size};"
-                         .encode())
-        key = (str(ds.feat_paths[0].parent), ident.hexdigest(), len(ds),
+            stats.append((str(p), st.st_mtime_ns, st.st_size))
+        stats = tuple(stats)
+        ident = hashlib.sha1(repr(stats).encode()).hexdigest()
+        key = (str(ds.feat_paths[0].parent), ident, len(ds),
                ds.feat_len, ds.feat_dim, split, self._feat_store_dtype.str,
                tuple(d.id for d in self.mesh.devices.flat))
-        cached = _BANK_CACHE.get(key)
-        if cached is None or cached.is_deleted():
-            # Evict superseded entries for the same (feats dir, split,
-            # dtype, devices) slot — a regenerated corpus would otherwise
-            # pin its predecessor's multi-GB bank in HBM for the process
-            # lifetime. Pop only (no .delete()): an earlier Trainer may
-            # still legitimately hold the old bank; its HBM frees when
-            # that reference dies.
-            slot = (key[0], key[5], key[6], key[7])
-            for k in [k for k in _BANK_CACHE
-                      if (k[0], k[5], k[6], k[7]) == slot]:
-                _BANK_CACHE.pop(k)
+        entry = _BANK_CACHE.get(key)
+        if entry is None or entry[0].is_deleted():
+            # Evict STALE entries: any cached bank whose recorded file
+            # stats no longer match the filesystem (its corpus was
+            # regenerated or removed) would otherwise pin multi-GB of
+            # HBM for the process lifetime with an unmatchable key.
+            # Entries that still stat-match are kept — two corpora may
+            # legitimately share one features directory (different
+            # caption subsets), and evicting by directory would make
+            # them thrash the cache. Pop only (no .delete()): an
+            # earlier Trainer may still hold an evicted bank; its HBM
+            # frees when that reference dies.
+            import os
+            for k in list(_BANK_CACHE):
+                _, k_stats = _BANK_CACHE[k]
+                for path, mtime_ns, size in k_stats:
+                    try:
+                        st = os.stat(path)
+                        fresh = (st.st_mtime_ns == mtime_ns
+                                 and st.st_size == size)
+                    except OSError:
+                        fresh = False
+                    if not fresh:
+                        _BANK_CACHE.pop(k)
+                        break
             cached = mesh_lib.device_put_chunked(load(), sharding)
-            _BANK_CACHE[key] = cached
-        return cached
+            _BANK_CACHE[key] = (cached, stats)
+            return cached
+        return entry[0]
 
     def _make_writer(self):
         try:

@@ -46,11 +46,14 @@ def test_timed_decode_matches_and_attributes(setup):
     want = srv.decode_tokens(np.asarray(feats))
     got, timings = srv.decode_tokens_timed(np.asarray(feats),
                                            exec_chain=(2, 6))
+    _, fast = srv.decode_tokens_timed(np.asarray(feats), exec_chain=None)
+    assert set(fast) == {"h2d_ms", "device_ms"}   # slope skipped
     np.testing.assert_array_equal(got, want)
     assert set(timings) == {"h2d_ms", "exec_ms", "d2h_ms", "device_ms"}
     assert all(v >= 0.0 for v in timings.values()), timings
     assert timings["device_ms"] > 0.0
-    assert timings["exec_ms"] > 0.0
+    assert timings["exec_ms"] >= 0.0   # slope clamps to 0 under extreme
+    #   scheduler noise; positivity is asserted by the on-chip bench
     # locally (no link RPC) the slope-measured pure exec tracks the
     # single-request device turnaround; generous bound for CI noise
     assert timings["exec_ms"] <= timings["device_ms"] * 3.0, timings

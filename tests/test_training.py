@@ -373,7 +373,7 @@ def test_feature_bank_cache_reuses_upload_and_matches(corpus, tmp_path):
     tr2 = Trainer(opt2, writer=None)
     assert {k: id(v) for k, v in loop_mod._BANK_CACHE.items()} == cached_ids
     assert tr2._bank["train"] is loop_mod._BANK_CACHE[
-        next(k for k in cached_ids if "train" in k)]
+        next(k for k in cached_ids if "train" in k)][0]
     h2 = tr2.fit(epochs=2)
     np.testing.assert_allclose(h1["train_loss"], h2["train_loss"],
                                rtol=1e-6, atol=1e-7)
@@ -407,7 +407,7 @@ def test_feature_bank_cache_misses_on_regenerated_features(tmp_path):
     # ...and the superseded banks were EVICTED, not pinned alongside the
     # new ones (a regenerated corpus must not leak multi-GB HBM entries)
     assert len(loop_mod._BANK_CACHE) == 2
-    assert all(v is not bank1
+    assert all(v[0] is not bank1
                for v in loop_mod._BANK_CACHE.values())
     # the old Trainer's own reference is untouched (no forced delete)
     assert not bank1.is_deleted()
