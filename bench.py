@@ -839,32 +839,38 @@ def bench_serving(batch: int, iters: int, mode: str = "greedy") -> dict:
         # serving_artifact_clips_per_sec is the per-request transfer+RPC
         # tax, stated in the artifact itself.
         phases = {"h2d_ms": [], "device_ms": []}
-        exec_ms = d2h_ms = None
+        exec_ms = None
         for rep in range(max(iters // 2, 3)):
-            # the exec slope costs ~24 extra executions — measure it on
-            # the first replay only; later replays re-sample only the
-            # link-weather phases (h2d / device turnaround)
+            # the exec slope costs ~481 extra executions (3 reps each of
+            # 40- and 120-call chains + warm) — measure it on the first
+            # replay only; later replays re-sample only the link-weather
+            # phases (h2d / device turnaround)
             _, t = sc.decode_tokens_timed(
                 feats, exec_chain=(40, 120) if rep == 0 else None)
             for k in phases:
                 phases[k].append(t[k])
             if rep == 0:
-                exec_ms, d2h_ms = t["exec_ms"], t["d2h_ms"]
+                exec_ms = t["exec_ms"]
+        device_ms = statistics.median(phases["device_ms"])
         for k, v in phases.items():
             out[f"serving_{k}_{key}"] = round(statistics.median(v), 2)
         out[f"serving_exec_ms_{key}"] = round(exec_ms, 2)
-        out[f"serving_d2h_ms_{key}"] = round(d2h_ms, 2)
+        # d2h against the MEDIAN device turnaround, not rep 0's — the
+        # emitted decomposition (exec + d2h ~= device) must be
+        # internally consistent even when rep 0 caught a weather spike
+        out[f"serving_d2h_ms_{key}"] = round(
+            max(device_ms - exec_ms, 0.0), 2)
         out[f"serving_request_ms_{key}"] = round(
-            statistics.median(phases["h2d_ms"])
-            + statistics.median(phases["device_ms"]), 2)
-        if exec_ms > 0:
+            statistics.median(phases["h2d_ms"]) + device_ms, 2)
+        if exec_ms >= 0.01:     # below 10us/batch the slope is noise,
+            #   not a measurement — a B>=1 decode cannot run that fast
             out[f"serving_device_resident_clips_per_sec_{key}"] = round(
                 batch / exec_ms * 1e3, 2)
         else:
             # a degraded measurement must be distinguishable from a key
             # that never existed (skipped-and-recorded discipline)
             out[f"serving_device_resident_note_{key}"] = (
-                "exec slope <= 0 (degenerate measurement)")
+                "exec slope degenerate (<0.01 ms) — no ceiling recorded")
         return out
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -1004,6 +1010,8 @@ _CORE_KEYS = (
     "train_e2e_clips_per_sec_b16",
     "serving_artifact_clips_per_sec_b16", "serving_exec_ms_b16",
     "serving_device_resident_clips_per_sec_b16",
+    "serving_device_resident_note_b16",   # degenerate-slope explanation —
+    #   the ceiling key being absent must be explained in-line too
     "decode_skipped",   # the headline value being null must be explained
     "terminated_by_signal", "total_wall_s",
 )

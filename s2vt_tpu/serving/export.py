@@ -31,6 +31,7 @@ import numpy as np
 from s2vt_tpu.evaluation.decode import ids_to_sentence
 
 _SEP = "//"
+_SLOPE_EPOCH = 0   # see ServingCaptioner.decode_tokens_timed nonce bases
 
 
 def _flatten_params(params) -> Dict[str, np.ndarray]:
@@ -190,9 +191,10 @@ class ServingCaptioner:
          - ``d2h_ms``: device_ms - exec_ms, the fetch/RPC share.
 
         Pass ``exec_chain=None`` to skip the slope (the chains cost
-        ~short+long extra executions) and get only h2d_ms/device_ms —
-        for replay loops that re-measure the transfer phases but need
-        the exec slope just once.
+        3*(short+long)+1 extra executions — ~481 at the default
+        (40, 120) — plus as many mixer dispatches) and get only
+        h2d_ms/device_ms, for replay loops that re-measure the transfer
+        phases but need the exec slope just once.
         """
         import time
         if getattr(self, "_mix", None) is None:
@@ -223,12 +225,22 @@ class ServingCaptioner:
 
         short, long = exec_chain
         assert 2 * long < 250, exec_chain
+        # The b-nonce base must differ across MEASUREMENTS, not only
+        # across this measurement's chains: a stage retry (or a second
+        # captioner over the same seeded feats) would otherwise re-issue
+        # byte-identical executions a caching tunnel could elide —
+        # exactly the degeneracy the nonces exist to prevent. Derive it
+        # from a process-global counter + pid, folded into [0, 224).
+        global _SLOPE_EPOCH
+        _SLOPE_EPOCH += 1
+        import os
+        base = (os.getpid() * 31 + _SLOPE_EPOCH * 7) % 224
         # warm the mixer's compile OUTSIDE the timed chains (it would
         # otherwise land in whichever chain runs first and survive the
-        # slope subtraction); b=0 is reserved for the warm call
+        # slope subtraction); b=base is reserved for the warm call
         _ = np.asarray(self._call(
             self.params, self._mix(dev, out, jnp.float32(252.0),
-                                   jnp.float32(0.0))))
+                                   jnp.float32(base))))
 
         def chain_s(n: int, b: int) -> float:
             o = out
@@ -243,8 +255,8 @@ class ServingCaptioner:
         # min over 3 reps per length: one link-weather spike in a single
         # rep would otherwise flip the slope sign (measured); a floor
         # wants the best case on both sides
-        t_long = min(chain_s(long, 1 + 2 * r) for r in range(3))
-        t_short = min(chain_s(short, 2 + 2 * r) for r in range(3))
+        t_long = min(chain_s(long, base + 1 + 2 * r) for r in range(3))
+        t_short = min(chain_s(short, base + 2 + 2 * r) for r in range(3))
         exec_ms = max((t_long - t_short) / (long - short) * 1e3, 0.0)
         timings["exec_ms"] = exec_ms
         timings["d2h_ms"] = max(device_ms - exec_ms, 0.0)

@@ -36,8 +36,10 @@ from s2vt_tpu.training.callbacks import EarlyStopping, ReduceLROnPlateau
 from s2vt_tpu.training.checkpoint import save_checkpoint
 
 # Process-level device-resident feature banks (see Trainer._bank_array):
-# (feats_dir, n_clips, feat_len, feat_dim, split, device_ids) -> jax.Array
-_BANK_CACHE: Dict[tuple, jax.Array] = {}
+# (feats_dir, content_ident, n_clips, feat_len, feat_dim, split,
+#  store_dtype, device_ids) -> (jax.Array, per-file (path, mtime, size)
+# stats used for stale-entry eviction)
+_BANK_CACHE: Dict[tuple, tuple] = {}
 
 
 def batch_loss(logits: jax.Array, labels: jax.Array, mask: jax.Array,

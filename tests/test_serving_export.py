@@ -53,7 +53,9 @@ def test_timed_decode_matches_and_attributes(setup):
     assert all(v >= 0.0 for v in timings.values()), timings
     assert timings["device_ms"] > 0.0
     assert timings["exec_ms"] >= 0.0   # slope clamps to 0 under extreme
-    #   scheduler noise; positivity is asserted by the on-chip bench
+    #   scheduler noise on tiny CI models; on-chip, a degenerate slope
+    #   (<0.01 ms) surfaces as serving_device_resident_note in the bench
+    #   artifact instead of a silent missing ceiling
     # locally (no link RPC) the slope-measured pure exec tracks the
     # single-request device turnaround; generous bound for CI noise
     assert timings["exec_ms"] <= timings["device_ms"] * 3.0, timings
