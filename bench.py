@@ -455,6 +455,302 @@ def bench_dep_matmul_latency(batch: int, iters: int = 10,
     return (min_wall(long) - min_wall(chain)) / (long - chain) * 1e6
 
 
+def bench_dep_cell_latency(batch: int, iters: int = 10,
+                           chain: int = 2000) -> float:
+    """Measured per-step latency (µs) of a chain of FULL fused-kernel
+    iterations: the merged [B,2H]x[2H,8H] bf16 matmul PLUS both LSTM
+    cells' gate math (3 sigmoids + 2 tanh + c/h updates per cell, f32
+    state — ops/rnn.py::lstm_step, ops/pallas_s2vt.py's phase A/B).
+    The delta vs bench_dep_matmul_latency prices the in-chain VPU work
+    that the matmul-only floor leaves out; same two-chain-length slope
+    + min-of-reps discipline (the tunnel's dispatch+fetch constant
+    cancels exactly)."""
+    import jax
+    import jax.numpy as jnp
+
+    from functools import partial
+
+    W = jax.jit(lambda k: (jax.random.normal(k, (2 * H, 8 * H),
+                                             jnp.bfloat16) * 0.02))(
+        jax.random.PRNGKey(0))
+    h0 = jax.jit(lambda k: jax.random.normal(k, (batch, 4 * H)))(
+        jax.random.PRNGKey(1))          # [h1|h2|c1|c2], f32
+    xp = jax.jit(lambda k: jax.random.normal(k, (batch, 8 * H)))(
+        jax.random.PRNGKey(2))          # hoisted input projections
+
+    def cell(pre):
+        i, f, g, o = jnp.split(pre, 4, axis=-1)
+        return jax.nn.sigmoid(i), jax.nn.sigmoid(f), jnp.tanh(g), \
+            jax.nn.sigmoid(o)
+
+    @partial(jax.jit, static_argnums=3)
+    def run(carry, W, xp, n):
+        def body(carry, _):
+            h, c = carry[:, :2 * H], carry[:, 2 * H:]
+            big = (h.astype(jnp.bfloat16) @ W).astype(jnp.float32) + xp
+            i1, f1, g1, o1 = cell(big[:, :4 * H])
+            i2, f2, g2, o2 = cell(big[:, 4 * H:])
+            i = jnp.concatenate([i1, i2], axis=1)
+            f = jnp.concatenate([f1, f2], axis=1)
+            g = jnp.concatenate([g1, g2], axis=1)
+            o = jnp.concatenate([o1, o2], axis=1)
+            c_new = f * c + i * g
+            h_new = o * jnp.tanh(c_new)
+            return jnp.concatenate([h_new, c_new], axis=1), ()
+        carry, _ = jax.lax.scan(body, carry, None, length=n)
+        return carry
+
+    def min_wall(n: int) -> float:
+        c = run(h0, W, xp, n)
+        _ = np.asarray(c)
+        reps = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            c = run(c, W, xp, n)
+            _ = np.asarray(c)
+            reps.append(time.perf_counter() - t0)
+        return min(reps)
+
+    long = 3 * chain
+    return (min_wall(long) - min_wall(chain)) / (long - chain) * 1e6
+
+
+def bench_dep_bwd_latency(batch: int, iters: int = 10,
+                          chain: int = 2000) -> float:
+    """Measured per-step latency (µs) of a chain of fused-kernel BACKWARD
+    iterations (ops/pallas_s2vt.py::_bwd_kernel): the split chain matmuls
+    ([B,8H]x[8H,H] for dh1, [B,4H]x[4H,H] for dh2, bf16) plus both cells'
+    _cell_bwd gate-grad math (f32). The carry is (dgates1, dgates2, dc1,
+    dc2) exactly as in the kernel; saved forward activations are held
+    constant (the real kernel streams them from HBM double-buffered —
+    ~1.3 MB/step at B=96, ~1.6 µs of overlappable DMA not priced here).
+    A per-rep integer nonce keeps dispatches distinct even if the grad
+    dynamics contract to a fixed point (the tunnel elides repeated
+    identical executions). Same two-chain-length slope + min-of-reps
+    discipline as bench_dep_matmul_latency."""
+    import jax
+    import jax.numpy as jnp
+
+    from functools import partial
+
+    key = jax.random.PRNGKey
+    wb1 = jax.jit(lambda k: (jax.random.normal(k, (8 * H, H),
+                                               jnp.bfloat16) * 0.02))(key(0))
+    wb2 = jax.jit(lambda k: (jax.random.normal(k, (4 * H, H),
+                                               jnp.bfloat16) * 0.02))(key(1))
+    # saved forward state: post-activation gates in their codomains,
+    # cells ~unit scale (values only set magnitudes, not latency)
+    mk = jax.jit(lambda k: (
+        jax.nn.sigmoid(jax.random.normal(k, (batch, 4 * H))),
+        jax.nn.sigmoid(jax.random.normal(jax.random.fold_in(k, 1),
+                                         (batch, 4 * H))),
+        jax.random.normal(jax.random.fold_in(k, 2), (batch, 4 * H)),
+        jax.random.normal(jax.random.fold_in(k, 3), (batch, H)) * 0.1,
+    ))
+    # cs packs [c1 | c1_prev | c2 | c2_prev], each [B, H]
+    post1, post2, cs, do2 = mk(key(2))
+    # carry [B, 10H] = [dgates1 | dgates2 | dc1 | dc2]
+    c0 = jax.jit(lambda k: jax.random.normal(k, (batch, 10 * H)) * 0.1)(
+        key(3))
+
+    def cell_bwd(post, c, c_prev, dh, dc_carry):
+        # mirrors ops/pallas_s2vt.py::_cell_bwd
+        i, f = post[:, :H], post[:, H:2 * H]
+        g, o = post[:, 2 * H:3 * H], post[:, 3 * H:]
+        tanh_c = jnp.tanh(c)
+        dc = dc_carry + dh * o * (1.0 - tanh_c * tanh_c)
+        d_i = dc * g * i * (1.0 - i)
+        d_f = dc * c_prev * f * (1.0 - f)
+        d_g = dc * i * (1.0 - g * g)
+        d_o = dh * tanh_c * o * (1.0 - o)
+        return jnp.concatenate([d_i, d_f, d_g, d_o], axis=-1), dc * f
+
+    @partial(jax.jit, static_argnums=(7,))
+    def run(carry, wb1, wb2, post1, post2, cs, do2, n):
+        def body(carry, _):
+            dg1, dg2 = carry[:, :4 * H], carry[:, 4 * H:8 * H]
+            dc1, dc2 = carry[:, 8 * H:9 * H], carry[:, 9 * H:]
+            pair = jnp.concatenate([dg1, dg2], axis=-1)
+            dh1 = (pair.astype(jnp.bfloat16) @ wb1).astype(jnp.float32)
+            dh2 = (dg2.astype(jnp.bfloat16) @ wb2).astype(jnp.float32)
+            ndg2, ndc2 = cell_bwd(post2, cs[:, 2 * H:3 * H],
+                                  cs[:, 3 * H:], dh2 + do2, dc2)
+            ndg1, ndc1 = cell_bwd(post1, cs[:, :H],
+                                  cs[:, H:2 * H], dh1, dc1)
+            return jnp.concatenate([ndg1, ndg2, ndc1, ndc2], axis=1), ()
+        carry, _ = jax.lax.scan(body, carry, None, length=n)
+        return carry
+
+    def min_wall(n: int) -> float:
+        c = run(c0, wb1, wb2, post1, post2, cs, do2, n)
+        _ = np.asarray(c)
+        reps = []
+        for r in range(iters):
+            nonce = np.zeros((batch, 10 * H), np.float32)
+            nonce[0, 0] = float(r + 1)      # exact small integer: the
+            c = jnp.asarray(np.asarray(c) + nonce)   # dispatch differs
+            t0 = time.perf_counter()
+            c = run(c, wb1, wb2, post1, post2, cs, do2, n)
+            _ = np.asarray(c)
+            reps.append(time.perf_counter() - t0)
+        return min(reps)
+
+    long = 3 * chain
+    return (min_wall(long) - min_wall(chain)) / (long - chain) * 1e6
+
+
+def bench_adam_latency(iters: int = 8, chain: int = 300) -> float:
+    """Measured wall time (ms) of ONE adam update over the real model's
+    param tree (~34M f32 params: embed/out_linear at VOCAB x H dominate).
+    The update is matmul-free, HBM-bound work (read p/m/v/g, write
+    p/m/v) that the matmul floor cannot see; it is chained through
+    lax.scan (p_{t+1} depends on p_t, so steps serialize like the real
+    donated train step) and slope-measured over two chain lengths with
+    min-of-reps, the same tunnel discipline as bench_dep_matmul_latency.
+    Grads are held constant — adam with fixed g has no fixed point (p
+    drifts linearly), so every rep's dispatch is distinct. The chain is
+    LONG (300/900 updates) because the per-update time is ms-scale: the
+    slope delta must clear the tunnel's 20-100 ms dispatch+fetch weather
+    swing by several x, or one spike flips the reading (the r5 serving-
+    slope lesson)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from functools import partial
+
+    from s2vt_tpu.models.s2vt import S2VT
+
+    model = S2VT(vocab_size=VOCAB, feat_dim=FEAT, length=L, dim_hid=H,
+                 dim_embed=E, sos_ix=SOS, eos_ix=4,
+                 compute_dtype=jnp.bfloat16, use_pallas=False)
+    feats = jax.jit(lambda k: jax.random.normal(k, (8, L, FEAT)))(
+        jax.random.PRNGKey(1))
+    targets = jax.jit(lambda k: jax.random.randint(
+        k, (8, L - 1), 0, VOCAB, jnp.int32))(jax.random.PRNGKey(2))
+    params = model.init(jax.random.PRNGKey(0), feats, targets,
+                        mode="train", deterministic=True)["params"]
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(params)
+    grads = jax.jit(lambda p: jax.tree_util.tree_map(
+        lambda x: 1e-3 * jnp.ones_like(x), p))(params)
+
+    @partial(jax.jit, static_argnums=3)
+    def run(params, opt_state, grads, n):
+        def body(carry, _):
+            p, s = carry
+            updates, s = tx.update(grads, s, p)
+            return (optax.apply_updates(p, updates), s), ()
+        carry, _ = jax.lax.scan(body, (params, opt_state), None, length=n)
+        return carry
+
+    def min_wall(n: int) -> float:
+        p, s = run(params, opt_state, grads, n)
+        _ = np.asarray(jax.tree_util.tree_leaves(p)[0])
+        reps = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            p, s = run(p, s, grads, n)
+            _ = np.asarray(jax.tree_util.tree_leaves(p)[0])
+            reps.append(time.perf_counter() - t0)
+        return min(reps)
+
+    long = 3 * chain
+    return (min_wall(long) - min_wall(chain)) / (long - chain) * 1e3
+
+
+def bench_outlinear_triple_ms(batch: int, iters: int = 8,
+                              chain: int = 120) -> float:
+    """Measured wall time (ms) of one out_linear fwd + both grads at the
+    train step's shapes — the step's single biggest non-chain matmul
+    block (~43% of its total FLOPs at B=96): y = x@W ([B(L-1),H]x[H,V]),
+    dW = x^T@dy, dx = dy@W^T, all bf16 with f32 accumulation like the
+    real step. Chained like a real train step — dx feeds the next x AND
+    dW feeds the next W — so nothing is dead: consuming dW through a
+    SLICE instead was measured to let XLA push the slice through the
+    dot and skip the whole [H,R]x[R,V] matmul (read 0.69 ms for a
+    1.21 ms-at-peak block). Slope-measured over 120/360 iterations: the
+    ms-scale delta must clear the tunnel weather swing by several x
+    (see bench_adam_latency). Measured r5: 1.22-1.30 ms/iter = 93-99%
+    of the v5e bf16 peak — this block is NOT where the attributed-vs-measured
+    residual lives."""
+    import jax
+    import jax.numpy as jnp
+
+    from functools import partial
+
+    R = batch * (L - 1)
+    W = jax.jit(lambda k: (jax.random.normal(k, (H, VOCAB),
+                                             jnp.bfloat16) * 0.02))(
+        jax.random.PRNGKey(0))
+    x0 = jax.jit(lambda k: jax.random.normal(k, (R, H), jnp.bfloat16))(
+        jax.random.PRNGKey(1))
+
+    @partial(jax.jit, static_argnums=2)
+    def run(x, W, n):
+        def body(carry, _):
+            x, W = carry
+            y = jnp.dot(x, W, preferred_element_type=jnp.float32)
+            dy = (jnp.tanh(y * 1e-2) * 1e-2).astype(jnp.bfloat16)
+            dW = jnp.dot(x.T, dy, preferred_element_type=jnp.float32)
+            dx = jnp.dot(dy, W.T, preferred_element_type=jnp.float32)
+            # dW is consumed the way training consumes it — a weight
+            # update — so no slice-pushdown can elide its matmul. The
+            # 1e-6-scale update rounds away in bf16 (W stays ~frozen,
+            # magnitudes bounded), but XLA cannot know that.
+            x = jnp.tanh(dx).astype(jnp.bfloat16)
+            W = (W.astype(jnp.float32) - 1e-6 * dW).astype(jnp.bfloat16)
+            return (x, W), ()
+        carry, _ = jax.lax.scan(body, (x, W), None, length=n)
+        return carry
+
+    def min_wall(n: int) -> float:
+        x, Wc = run(x0, W, n)
+        _ = np.asarray(x)
+        reps = []
+        for r in range(iters):
+            # exact-integer nonce: the tanh dynamics are contractive, so
+            # without it successive reps can converge to a bf16 fixed
+            # point and the tunnel elides repeated identical dispatches
+            # (additive tiny perturbations round away in bf16 —
+            # CLAUDE.md). Same per-rep cost at both chain lengths, so
+            # the slope cancels it.
+            xh = np.array(x)                 # copy: np.asarray of a jax
+            xh[0, 0] = float(r + 1)          # array is read-only
+            x = jnp.asarray(xh)
+            t0 = time.perf_counter()
+            x, Wc = run(x, Wc, n)
+            _ = np.asarray(x)
+            reps.append(time.perf_counter() - t0)
+        return min(reps)
+
+    long = 3 * chain
+    return (min_wall(long) - min_wall(chain)) / (long - chain) * 1e3
+
+
+def outlinear_triple_flops(batch: int) -> float:
+    return 3 * 2.0 * batch * (L - 1) * H * VOCAB
+
+
+def train_measured_floor_ms(fwd_us: float, bwd_us: float,
+                            batch: int) -> float:
+    """Fully-measured additive floor (ms): 2L forward chain steps at the
+    slope-measured full-cell latency, 2L backward chain steps at the
+    slope-measured backward-iteration latency, and the step's remaining
+    matmul FLOPs (projections, out_linear, weight grads — batch-parallel
+    but serialized on the one TensorCore) at peak. Unlike
+    train_latency_bound_ms this prices backward steps at their OWN
+    measured latency instead of the forward step's."""
+    fwd_steps = 2 * L
+    bwd_steps = 2 * L
+    fwd_chain_flops = fwd_steps * 2.0 * batch * (2 * H) * (8 * H)
+    bwd_chain_flops = bwd_steps * 2.0 * batch * (8 * H * H + 4 * H * H)
+    rest = max(train_matmul_flops(batch)
+               - fwd_chain_flops - bwd_chain_flops, 0.0)
+    return (fwd_steps * fwd_us * 1e-3 + bwd_steps * bwd_us * 1e-3
+            + rest / V5E_BF16_PEAK * 1e3)
+
+
 def train_latency_bound_ms(per_step_us: float, batch: int) -> float:
     """Additive single-TensorCore floor (ms) for one train step.
 
@@ -1005,6 +1301,7 @@ _CORE_KEYS = (
     "train_step_ms_b16_bf16_pallas", "train_step_ms_b64_bf16_pallas",
     "train_step_ms_b96_bf16_pallas",
     "train_mfu_best", "train_mfu_best_config", "train_mfu_latency_bound",
+    "train_step_cell_bound_frac", "train_step_attributed_frac",
     "train_e2e_last_METEOR_b16", "train_e2e_gate_pass",
     "train_e2e_last_METEOR_bf16", "train_e2e_gate_pass_bf16",
     "train_e2e_clips_per_sec_b16",
@@ -1315,6 +1612,60 @@ def main():
             extra["train_mfu_latency_bound"] = round(
                 train_matmul_flops(best[1]) / (bound_ms * 1e-3)
                 / V5E_BF16_PEAK, 4)
+        # Refined floor: re-measure the dependent step as the FULL fused
+        # iteration (matmul + both cells' gate VPU math) so the previously
+        # unpriced in-chain elementwise work is measured, not hand-waved.
+        # The matmul-only bound above stays the conservative floor; this
+        # one states how much of the best step the measured chain itself
+        # explains (bench_dep_cell_latency docstring for the caveats).
+        cell_us = stage("dep cell latency", "dep_cell_latency_us",
+                        bench_dep_cell_latency,
+                        best[1] if best is not None else 64, est=45.0)
+        if cell_us is not None and best is not None:
+            cbound_ms = train_latency_bound_ms(cell_us, best[1])
+            extra["train_step_cell_bound_ms"] = round(cbound_ms, 2)
+            extra["train_step_cell_bound_frac"] = round(
+                cbound_ms / best[3], 3)
+        # Fully-measured floor: the backward chain priced at its OWN
+        # slope-measured latency (split [B,8H]x[8H,H] + [B,4H]x[4H,H]
+        # matmuls + both _cell_bwd grad blocks) instead of assuming
+        # forward latency for all 4L steps. measured_floor_frac states
+        # how much of the best step is now measured chain + peak-rate
+        # rest; the residual is pallas bookkeeping + unpriced VPU/DMA.
+        bwd_us = stage("dep bwd latency", "dep_bwd_latency_us",
+                       bench_dep_bwd_latency,
+                       best[1] if best is not None else 64, est=45.0)
+        if (bwd_us is not None and bwd_us > 0 and cell_us is not None
+                and cell_us > 0 and best is not None):
+            mfloor_ms = train_measured_floor_ms(cell_us, bwd_us, best[1])
+            extra["train_step_measured_floor_ms"] = round(mfloor_ms, 2)
+            extra["train_step_measured_floor_frac"] = round(
+                mfloor_ms / best[3], 3)
+        # The optimizer is HBM-bound, matmul-free work the floor can't
+        # see: slope-measure one chained adam update over the real param
+        # tree and state the attributed total (chains + rest matmuls at
+        # peak + measured adam). The residual to the best step is what
+        # remains genuinely unexplained (pallas bookkeeping, sub-peak
+        # weight grads, stream DMA).
+        adam_ms = stage("adam update latency", "train_adam_update_ms",
+                        bench_adam_latency, est=60.0)
+        if (adam_ms is not None and adam_ms > 0 and best is not None
+                and "train_step_measured_floor_ms" in extra):
+            attr_ms = mfloor_ms + adam_ms
+            extra["train_step_attributed_ms"] = round(attr_ms, 2)
+            extra["train_step_attributed_frac"] = round(
+                attr_ms / best[3], 3)
+        # Name the residual: the out_linear fwd+dW+dx block is the
+        # biggest single 'rest' component (~43% of step FLOPs at B=96);
+        # its measured efficiency states how much of the attributed-vs-
+        # measured gap is that block running below peak.
+        ol_ms = stage("out_linear triple", "train_outlinear_triple_ms",
+                      bench_outlinear_triple_ms,
+                      best[1] if best is not None else 64, est=60.0)
+        if ol_ms is not None and ol_ms > 0 and best is not None:
+            extra["train_outlinear_triple_eff"] = round(
+                outlinear_triple_flops(best[1]) / (ol_ms * 1e-3)
+                / V5E_BF16_PEAK, 3)
         stage("train att_baseline", "train_step_ms_b16_bf16_att_baseline",
               bench_train_step, 16, False, args.train_iters, est=45.0,
               arch="att_baseline")

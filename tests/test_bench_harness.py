@@ -194,3 +194,33 @@ def test_e2e_gate_threshold_sits_between_calibrated_bands():
     # weakest real plateau point (the calibrated values give ~35%/~20%)
     assert g["meteor_min"] >= control_hi * 1.25
     assert g["meteor_min"] <= real_lo * 0.85
+
+
+def test_measured_floor_consistent_with_conservative_bound():
+    """train_measured_floor_ms prices the backward chain at its OWN
+    measured latency; with bwd == fwd it must agree with the
+    conservative train_latency_bound_ms at the same per-step value
+    (same 4L steps, same chain-FLOPs bookkeeping differs only by the
+    bwd chain's smaller matmuls — so 'agree' means within the two
+    models' rest-term delta), and with bwd < fwd it must be strictly
+    lower. Pure arithmetic, no device."""
+    b, us = 96, 14.0
+    cons = bench.train_latency_bound_ms(us, b)
+    same = bench.train_measured_floor_ms(us, us, b)
+    # equal per-step latency: only the rest term differs (the measured
+    # model subtracts the bwd chain's true, smaller FLOPs) — the two
+    # must be within 15% of each other and ordered (measured >= cons:
+    # it subtracts FEWER flops from the peak-rate rest term)
+    assert same >= cons
+    assert same <= cons * 1.15
+    faster_bwd = bench.train_measured_floor_ms(us, us / 2, b)
+    assert faster_bwd < same
+    # chain terms dominate: floors are positive and scale with latency
+    assert bench.train_measured_floor_ms(2 * us, us, b) > same
+
+
+def test_attribution_keys_are_core():
+    """The attribution fractions must survive into the compact headline
+    (the whole point is that the official line carries them)."""
+    assert "train_step_cell_bound_frac" in bench._CORE_KEYS
+    assert "train_step_attributed_frac" in bench._CORE_KEYS
