@@ -260,12 +260,17 @@ def bench_train_step(batch: int, use_pallas: bool, iters: int,
     tx = optax.adam(1e-4)
     opt_state = tx.init(params)
 
+    # The loss is the PRODUCTION formulation (ops.losses._token_nll:
+    # fused logsumexp + gather over the bf16 logits) — through r4 this
+    # bench materialized log_softmax(logits.astype(f32)), a full
+    # [B, L-1, V] f32 tensor the real step never builds; the two are
+    # A/B'd head-to-head in bench_loss_block_ms.
+    from s2vt_tpu.ops.losses import _token_nll
+
     def loss_fn(p, f, targets):
         logits = model.apply({"params": p}, f, targets, mode="train",
                              deterministic=True)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
-        return jnp.mean(nll)
+        return jnp.mean(_token_nll(logits, targets))
 
     from functools import partial
 
@@ -399,7 +404,7 @@ def train_matmul_flops(batch: int) -> float:
 
 
 def bench_dep_matmul_latency(batch: int, iters: int = 10,
-                             chain: int = 2000) -> float:
+                             chain: int = 8000) -> float:
     """Measured per-step latency (µs) of a chain of DEPENDENT matmuls of
     the fused kernel's recurrent shape ([B, 2H] x [2H, 8H], bf16): step
     t's input is step t-1's output, so no amount of compiler scheduling
@@ -439,7 +444,11 @@ def bench_dep_matmul_latency(batch: int, iters: int = 10,
     #  - the fetch + dispatch constant (20-100ms of link weather) is
     #    removed EXACTLY by timing two chain lengths and taking the
     #    slope: (t_long - t_short) / (n_long - n_short). min-of-reps on
-    #    each side because a latency FLOOR wants the best case.
+    #    each side because a latency FLOOR wants the best case. Chains
+    #    are sized so the delta (~16,000 steps x ~14 us ~ 220 ms)
+    #    clears the weather swing several times over — a 6 us/step
+    #    chain at 6,000 read 1.3 us in one r5 link mode before being
+    #    lengthened.
     def min_wall(n: int) -> float:
         h = run(h0, W, n)                             # compile + warm
         _ = np.asarray(h)
@@ -456,7 +465,7 @@ def bench_dep_matmul_latency(batch: int, iters: int = 10,
 
 
 def bench_dep_cell_latency(batch: int, iters: int = 10,
-                           chain: int = 2000) -> float:
+                           chain: int = 8000) -> float:
     """Measured per-step latency (µs) of a chain of FULL fused-kernel
     iterations: the merged [B,2H]x[2H,8H] bf16 matmul PLUS both LSTM
     cells' gate math (3 sigmoids + 2 tanh + c/h updates per cell, f32
@@ -516,7 +525,7 @@ def bench_dep_cell_latency(batch: int, iters: int = 10,
 
 
 def bench_dep_bwd_latency(batch: int, iters: int = 10,
-                          chain: int = 2000) -> float:
+                          chain: int = 16000) -> float:
     """Measured per-step latency (µs) of a chain of fused-kernel BACKWARD
     iterations (ops/pallas_s2vt.py::_bwd_kernel): the split chain matmuls
     ([B,8H]x[8H,H] for dh1, [B,4H]x[4H,H] for dh2, bf16) plus both cells'
@@ -599,7 +608,7 @@ def bench_dep_bwd_latency(batch: int, iters: int = 10,
     return (min_wall(long) - min_wall(chain)) / (long - chain) * 1e6
 
 
-def bench_adam_latency(iters: int = 8, chain: int = 300) -> float:
+def bench_adam_latency(iters: int = 5, chain: int = 6000) -> float:
     """Measured wall time (ms) of ONE adam update over the real model's
     param tree (~34M f32 params: embed/out_linear at VOCAB x H dominate).
     The update is matmul-free, HBM-bound work (read p/m/v/g, write
@@ -609,10 +618,16 @@ def bench_adam_latency(iters: int = 8, chain: int = 300) -> float:
     min-of-reps, the same tunnel discipline as bench_dep_matmul_latency.
     Grads are held constant — adam with fixed g has no fixed point (p
     drifts linearly), so every rep's dispatch is distinct. The chain is
-    LONG (300/900 updates) because the per-update time is ms-scale: the
-    slope delta must clear the tunnel's 20-100 ms dispatch+fetch weather
-    swing by several x, or one spike flips the reading (the r5 serving-
-    slope lesson)."""
+    LONG because the per-update time is ms-scale. Measured as a single
+    long-chain ABSOLUTE (min-of-reps of wall/chain), not a two-length
+    slope: at ms-scale per-iteration cost the chain can be made long
+    enough (6,000 updates ~ 3.5 s) that the dispatch+fetch constant is
+    <3% of the wall — while the two-length slope was measured to go
+    WRONG in both directions on this link (60/180 updates read 0.09 ms
+    for a true ~0.6; and in one r5 link mode the 240/720 out_linear
+    slope read 13% ABOVE peak because the short-chain minimum carried
+    systematic extra time that min-of-reps never shed). The absolute is
+    a tight upper bound (the <3% constant rides on it)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -655,12 +670,11 @@ def bench_adam_latency(iters: int = 8, chain: int = 300) -> float:
             reps.append(time.perf_counter() - t0)
         return min(reps)
 
-    long = 3 * chain
-    return (min_wall(long) - min_wall(chain)) / (long - chain) * 1e3
+    return min_wall(chain) / chain * 1e3
 
 
-def bench_outlinear_triple_ms(batch: int, iters: int = 8,
-                              chain: int = 120) -> float:
+def bench_outlinear_triple_ms(batch: int, iters: int = 4,
+                              chain: int = 2400) -> float:
     """Measured wall time (ms) of one out_linear fwd + both grads at the
     train step's shapes — the step's single biggest non-chain matmul
     block (~43% of its total FLOPs at B=96): y = x@W ([B(L-1),H]x[H,V]),
@@ -669,11 +683,13 @@ def bench_outlinear_triple_ms(batch: int, iters: int = 8,
     dW feeds the next W — so nothing is dead: consuming dW through a
     SLICE instead was measured to let XLA push the slice through the
     dot and skip the whole [H,R]x[R,V] matmul (read 0.69 ms for a
-    1.21 ms-at-peak block). Slope-measured over 120/360 iterations: the
-    ms-scale delta must clear the tunnel weather swing by several x
-    (see bench_adam_latency). Measured r5: 1.22-1.30 ms/iter = 93-99%
-    of the v5e bf16 peak — this block is NOT where the attributed-vs-measured
-    residual lives."""
+    1.21 ms-at-peak block). Measured as a single 2,400-iteration
+    ABSOLUTE (min-of-reps of wall/chain, ~3.1 s walls, dispatch+fetch
+    constant <3% — see bench_adam_latency for why ms-scale two-length
+    slopes are not trusted on this link: one r5 link mode read this
+    block at 13% ABOVE peak). Measured r5: 1.29 ms/iter, repeatable to
+    0.2% = 94% of the v5e bf16 peak — this block is NOT where the
+    attributed-vs-measured residual lives."""
     import jax
     import jax.numpy as jnp
 
@@ -724,12 +740,109 @@ def bench_outlinear_triple_ms(batch: int, iters: int = 8,
             reps.append(time.perf_counter() - t0)
         return min(reps)
 
-    long = 3 * chain
-    return (min_wall(long) - min_wall(chain)) / (long - chain) * 1e3
+    return min_wall(chain) / chain * 1e3
 
 
 def outlinear_triple_flops(batch: int) -> float:
     return 3 * 2.0 * batch * (L - 1) * H * VOCAB
+
+
+def bench_loss_block_ms(batch: int, iters: int = 4,
+                        chain: int = 1200) -> dict:
+    """Measured wall time (ms) of the train step's LOSS block — CE
+    forward + its dlogits backward at the step's real logits shape
+    ([B, L-1, VOCAB] bf16 in, f32 math, bf16 grads out) — the biggest
+    non-matmul HBM consumer, invisible to the matmul floors (~4 passes
+    over a ~155 MB logits tensor at B=96).
+
+    Two formulations are A/B'd at identical shapes:
+     - 'prod': the production ``ops.losses._token_nll`` (logsumexp +
+       label gather, f32 math fused over the bf16 logits — what
+       training/loop.py::batch_loss runs);
+     - 'logsoftmax': materializing ``log_softmax(logits.astype(f32))``
+       (a full [B, L-1, V] f32 tensor) then gathering — the formulation
+       this bench's train step used through r4.
+    Each chain iteration consumes the FULL dlogits as an update of the
+    carried logits, the way the real step consumes it (feeding the dW/dx
+    matmuls) — consuming a reduction instead would let XLA skip
+    materializing the gradient (the bench_outlinear_triple_ms slice
+    lesson). An axpy-only control chain with a fixed gradient prices
+    that consumption; *_net_ms subtracts it. Measured as single
+    long-chain ABSOLUTEs (min-of-reps of wall/chain, ~1-2 s walls —
+    see bench_adam_latency for why ms-scale two-length slopes are not
+    trusted on this link); the dispatch constant is <3% of each wall
+    and cancels EXACTLY in the gross-minus-control net. Per-rep
+    exact-integer nonce (the update can round away in bf16, so without
+    it successive reps would re-dispatch identical executions for the
+    tunnel to elide)."""
+    import jax
+    import jax.numpy as jnp
+
+    from functools import partial
+
+    from s2vt_tpu.ops.losses import _token_nll
+
+    logits0 = jax.jit(lambda k: jax.random.normal(
+        k, (batch, L - 1, VOCAB), jnp.bfloat16))(jax.random.PRNGKey(0))
+    targets = jax.jit(lambda k: jax.random.randint(
+        k, (batch, L - 1), 0, VOCAB, jnp.int32))(jax.random.PRNGKey(1))
+    g0 = jax.jit(lambda k: jax.random.normal(
+        k, (batch, L - 1, VOCAB), jnp.bfloat16) * 1e-3)(
+        jax.random.PRNGKey(2))
+
+    def ce_prod(lg):
+        return jnp.mean(_token_nll(lg, targets))
+
+    def ce_logsoftmax(lg):
+        logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+        return jnp.mean(-jnp.take_along_axis(
+            logp, targets[..., None], axis=-1))
+
+    def make_run(ce):
+        @partial(jax.jit, static_argnums=1)
+        def run(lg, n):
+            def body(lg, _):
+                loss, dlg = jax.value_and_grad(ce)(lg)
+                lg = (lg.astype(jnp.float32)
+                      - (1.0 + loss * 1e-9) * dlg.astype(jnp.float32)
+                      ).astype(jnp.bfloat16)
+                return lg, ()
+            lg, _ = jax.lax.scan(body, lg, None, length=n)
+            return lg
+        return run
+
+    @partial(jax.jit, static_argnums=2)
+    def run_control(lg, g, n):
+        def body(lg, _):
+            lg = (lg.astype(jnp.float32)
+                  - 1e-3 * g.astype(jnp.float32)).astype(jnp.bfloat16)
+            return lg, ()
+        lg, _ = jax.lax.scan(body, lg, None, length=n)
+        return lg
+
+    def abs_ms(run_n) -> float:
+        lg = run_n(logits0, chain)
+        _ = np.asarray(jax.device_get(lg[0, 0, 0]))
+        reps = []
+        for r in range(iters):
+            # exact-integer nonce via on-device scatter (small ints
+            # are exact in bf16; no 155 MB host roundtrip)
+            lg = lg.at[0, 0, 0].set(float(r + 1))
+            t0 = time.perf_counter()
+            lg = run_n(lg, chain)
+            _ = np.asarray(jax.device_get(lg[0, 0, 0]))
+            reps.append(time.perf_counter() - t0)
+        return min(reps) / chain * 1e3
+
+    out = {}
+    out["train_loss_axpy_control_ms"] = round(
+        abs_ms(lambda lg, n: run_control(lg, g0, n)), 3)
+    for name, ce in (("prod", ce_prod), ("logsoftmax", ce_logsoftmax)):
+        ms = abs_ms(make_run(ce))
+        out[f"train_loss_{name}_ms"] = round(ms, 3)
+        out[f"train_loss_{name}_net_ms"] = round(
+            max(ms - out["train_loss_axpy_control_ms"], 0.0), 3)
+    return out
 
 
 def train_measured_floor_ms(fwd_us: float, bwd_us: float,
@@ -1649,9 +1762,19 @@ def main():
         # weight grads, stream DMA).
         adam_ms = stage("adam update latency", "train_adam_update_ms",
                         bench_adam_latency, est=60.0)
+        # The loss block (CE fwd + dlogits bwd over the [B, L-1, V]
+        # logits) is HBM-bound, matmul-free work the floors can't see
+        # either; slope-measured at the best config's batch, with the
+        # r4 log_softmax formulation A/B'd against the production one
+        # in the same stage (the dict lands in extra).
+        loss_blk = stage("loss block", "train_loss_block",
+                         bench_loss_block_ms,
+                         best[1] if best is not None else 64, est=60.0)
+        loss_net = (extra.get("train_loss_prod_net_ms")
+                    if isinstance(loss_blk, dict) else None)
         if (adam_ms is not None and adam_ms > 0 and best is not None
                 and "train_step_measured_floor_ms" in extra):
-            attr_ms = mfloor_ms + adam_ms
+            attr_ms = mfloor_ms + adam_ms + (loss_net or 0.0)
             extra["train_step_attributed_ms"] = round(attr_ms, 2)
             extra["train_step_attributed_frac"] = round(
                 attr_ms / best[3], 3)
