@@ -33,6 +33,15 @@ def main():
                     help="export beam-search decode instead of greedy")
     ap.add_argument("--beam_width", type=int, default=None)
     ap.add_argument("--max_beam_depth", type=int, default=None)
+    ap.add_argument("--feats_dtype", default="float32",
+                    choices=("float32", "bfloat16", "float16"),
+                    help="the artifact's feature-input dtype. bfloat16 "
+                         "halves the per-request upload — the measured "
+                         "serving bottleneck (bench.py: H2D is ~97%% of "
+                         "the request at B=16 over a network link); "
+                         "ServingCaptioner.caption() casts f32 callers' "
+                         "input via the manifest, so clients are "
+                         "unaffected")
     args = ap.parse_args()
 
     from s2vt_tpu.config import Opt
@@ -60,12 +69,14 @@ def main():
         model = build_model(opt.replace(use_pallas=False), vocab,
                             valid_vocab=real_vocab)
     batch = None if args.batch == "poly" else int(args.batch)
+    import jax.numpy as jnp
     out = export_captioner(
         model, params, ix2word, specials, batch, args.out,
         mode="beam" if args.beam else "greedy",
         beam_width=args.beam_width or opt.beam_width,
         max_beam_depth=args.max_beam_depth or opt.max_beam_depth,
-        beam_score_mode=opt.beam_score_mode)
+        beam_score_mode=opt.beam_score_mode,
+        feats_dtype=jnp.dtype(args.feats_dtype))
     print(f"exported {'beam' if args.beam else 'greedy'} captioner "
           f"(batch={'polymorphic' if batch is None else batch}) to {out}")
 

@@ -83,3 +83,19 @@ def test_caption_clips_end_to_end(tmp_path):
     art_captioner = ClipCaptioner(backbone="tiny", artifact=str(art))
     out_art = art_captioner.caption([clip])
     assert out_art[str(clip)] == out[str(clip)]
+
+    # --feats_dtype bfloat16: the halved-upload artifact (manifest
+    # records the dtype; caption() casts the extractor's f32 features)
+    art16 = tmp_path / "artifact_bf16"
+    sys.argv = ["export_serving", "--model_path", ckpt,
+                "--caption_file", corpus["captions_file"],
+                "--out", str(art16), "--batch", "2",
+                "--feats_dtype", "bfloat16"]
+    try:
+        export_serving.main()
+    finally:
+        sys.argv = argv
+    art16_captioner = ClipCaptioner(backbone="tiny", artifact=str(art16))
+    assert art16_captioner.artifact.manifest["feats_dtype"] == "bfloat16"
+    out16 = art16_captioner.caption([clip])
+    assert isinstance(out16[str(clip)], str)
