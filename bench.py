@@ -1430,6 +1430,20 @@ def bench_serving_poly(iters: int, shapes=(16, 8, 24)) -> dict:
         shutil.rmtree(d_fixed, ignore_errors=True)
 
 
+def _stage_budget(remaining_s: float, est: float,
+                  reserved_s: float) -> tuple:
+    """The stage-start budget decision, shared by main()'s stage closure.
+
+    Returns (may_start, timeout_cap_s): a stage may start only if the
+    budget remainder MINUS the reservations held for judge-critical
+    stages still to come covers its minimum cost, and — when it does
+    start — its timeout is capped so it cannot run into the reserve
+    either. Critical stages call this with reserved_s=0 (their own
+    reservation is released on entry)."""
+    return (remaining_s - reserved_s >= est,
+            max(remaining_s - reserved_s, 1.0))
+
+
 def _run_stage(name, fn, *args, timeout_s: float = 600.0, retries: int = 1,
                telemetry: dict = None, **kw):
     """Run one bench stage with a wall-clock timeout and retry.
@@ -1653,16 +1667,42 @@ def main():
     def remaining() -> float:
         return args.budget - (time.perf_counter() - t_start)
 
-    def stage(name, key, fn, *a, scale=1.0, timeout_s=None, est=45.0, **kw):
+    # Budget RESERVATIONS for the judge-critical late stages (the e2e
+    # learning gates and the serving artifact numbers): measured bad-link
+    # weather can eat 400+s in the front stages, and without a reserve
+    # those secondary stages starve the gates right out of the run (one
+    # r5 warming run skipped BOTH e2e stages at "308s left"). A
+    # non-critical stage neither starts nor runs long enough to eat into
+    # the reserved remainder; a critical stage releases its reservation
+    # when it runs (or is skipped by its own est).
+    reserved = {}
+    if args.budget >= 1200.0:   # tiny-budget smokes keep first-come order
+        if not args.skip_train_e2e:
+            reserved["train_e2e_b16"] = 330.0
+            reserved["train_e2e_bf16"] = 150.0
+        if not args.skip_serving:
+            reserved["serving_b16"] = 90.0
+            reserved["serving_bf16feats_b16"] = 60.0
+
+    def stage(name, key, fn, *a, scale=1.0, timeout_s=None, est=45.0,
+              critical=False, **kw):
         """est: minimum seconds the stage plausibly needs; if the budget
-        remainder is below it, skip (recorded) instead of starting a
+        remainder (minus the reservations held for critical stages still
+        to come) is below it, skip (recorded) instead of starting a
         stage that would be killed mid-flight."""
-        if remaining() < est:
-            extra[f"{key}_skipped"] = f"budget ({remaining():.0f}s left)"
+        res = sum(v for k, v in reserved.items() if k != key)
+        if critical:
+            reserved.pop(key, None)
+            res = 0.0
+        may_start, cap = _stage_budget(remaining(), est, res)
+        if not may_start:
+            why = f"budget ({remaining():.0f}s left"
+            why += f", {res:.0f}s reserved)" if res else ")"
+            extra[f"{key}_skipped"] = why
             art.snapshot()   # the skip marker must survive a SIGKILL too
             return None
         v = _run_stage(name, fn, *a, telemetry=extra,
-                       timeout_s=min(timeout_s or T, max(remaining(), 1.0)),
+                       timeout_s=min(timeout_s or T, cap),
                        **kw)
         if v is None:
             extra[f"{key}_skipped"] = "stage timed out or raised"
@@ -1892,7 +1932,8 @@ def main():
         # the full-size on-chip loop LEARNS, converges, and judges itself.
         stage("train e2e b16", "train_e2e_b16", bench_train_e2e,
               args.train_e2e_epochs, 16, "b16",
-              timeout_s=max(T, 1200.0), est=330.0, use_pallas=True,
+              timeout_s=max(T, 1200.0), est=330.0, critical=True,
+              use_pallas=True,
               lr=1e-3, metric_eval_freq=E2E_GATE["eval_freq"],
               eval_batch_size=90,
               learning_rate_patience=10000, early_stopping_patience=10000,
@@ -1904,7 +1945,8 @@ def main():
         # just that its step is faster. Shares the cached feature bank.
         stage("train e2e b16 bf16", "train_e2e_bf16", bench_train_e2e,
               args.train_e2e_epochs, 16, "bf16",
-              timeout_s=max(T, 1200.0), est=150.0, use_pallas=True,
+              timeout_s=max(T, 1200.0), est=150.0, critical=True,
+              use_pallas=True,
               lr=1e-3, metric_eval_freq=E2E_GATE["eval_freq_bf16"],
               eval_batch_size=90,
               learning_rate_patience=10000, early_stopping_patience=10000,
@@ -1956,9 +1998,11 @@ def main():
 
     if not args.skip_serving:
         stage("serving artifact b16", "serving_b16",
-              bench_serving, 16, args.serving_iters, est=90.0)
+              bench_serving, 16, args.serving_iters, est=90.0,
+              critical=True)
         stage("serving bf16-feats artifact b16", "serving_bf16feats_b16",
-              bench_serving_bf16_feats, 16, args.serving_iters, est=60.0)
+              bench_serving_bf16_feats, 16, args.serving_iters, est=60.0,
+              critical=True)
         if ("serving_h2d_ms_b16" in extra
                 and extra.get("serving_bf16feats_h2d_ms_b16")):
             # the claim the artifact exists to test: halved upload bytes

@@ -224,3 +224,25 @@ def test_attribution_keys_are_core():
     (the whole point is that the official line carries them)."""
     assert "train_step_cell_bound_frac" in bench._CORE_KEYS
     assert "train_step_attributed_frac" in bench._CORE_KEYS
+
+
+def test_stage_budget_reserves_for_critical_stages():
+    """A secondary stage must not start (nor be allowed to run long
+    enough) to eat into the budget reserved for the judge-critical e2e
+    gates and serving stages; a critical stage sees no reservation
+    against itself (it passes reserved_s=0). Pure arithmetic — the
+    measured failure this encodes: one r5 warming run burned the
+    remainder in front stages and skipped BOTH e2e gates at '308s
+    left'."""
+    # plenty of budget: secondary stage starts, timeout capped above est
+    ok, cap = bench._stage_budget(1400.0, est=60.0, reserved_s=630.0)
+    assert ok and cap == 1400.0 - 630.0
+    # remainder covers est but NOT est + reserve: secondary must skip
+    ok, _ = bench._stage_budget(400.0, est=60.0, reserved_s=630.0)
+    assert not ok
+    # the same remainder with no reservation (critical stage): starts
+    ok, cap = bench._stage_budget(400.0, est=330.0, reserved_s=0.0)
+    assert ok and cap == 400.0
+    # timeout cap never goes non-positive
+    _, cap = bench._stage_budget(10.0, est=5.0, reserved_s=50.0)
+    assert cap == 1.0
