@@ -1364,6 +1364,91 @@ def bench_serving_bf16_feats(batch: int, iters: int) -> dict:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def bench_serving_int8_feats(batch: int, iters: int) -> dict:
+    """The int8-features serving artifact (export_serving --feats_dtype
+    int8): per-clip absmax quantization with on-device dequant quarters
+    the per-request upload vs f32 (halves it vs bf16) — and unlike the
+    bf16 cast it is genuinely LOSSY (max error absmax/254 per element vs
+    the compute dtype's own 0.4%-relative input rounding). The stage
+    records throughput + phases like the other serving stages, asserts
+    the EXACT oracle (artifact == live jit fed the dequantized array),
+    and records the cross-dtype token match vs the f32-input decode as
+    measurement — a random-weights model decoding random features is a
+    worst-case fidelity probe (near-uniform logits flip argmax easily);
+    trained-model fidelity is the CPU suite's concern."""
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from s2vt_tpu.models.s2vt import S2VT
+    from s2vt_tpu.serving import ServingCaptioner, quantize_feats
+    from s2vt_tpu.serving.export import export_captioner
+
+    model = S2VT(vocab_size=VOCAB, feat_dim=FEAT, length=L, dim_hid=H,
+                 dim_embed=E, sos_ix=SOS, eos_ix=4,
+                 compute_dtype=jnp.bfloat16, use_pallas=False)
+    feats = np.asarray(jax.jit(
+        lambda k: jax.random.normal(k, (batch, L, FEAT)))(
+            jax.random.PRNGKey(1)))
+    params = model.init(jax.random.PRNGKey(0), feats, mode="test")["params"]
+
+    key = f"b{batch}"
+    out_dir = tempfile.mkdtemp(prefix="s2vt_serving_int8_")
+    try:
+        ix2word = {i: f"w{i}" for i in range(VOCAB)}
+        specials = {"pad_ix": 0, "unk_ix": 1, "sos_ix": SOS, "eos_ix": 4}
+        export_captioner(model, params, ix2word, specials, batch, out_dir,
+                         mode="greedy", feats_dtype=np.int8)
+        sc = ServingCaptioner(out_dir)
+
+        qts = []
+        for _ in range(5):   # median: the first call pays page faults
+            t0 = time.perf_counter()
+            q, scale = quantize_feats(feats)
+            qts.append((time.perf_counter() - t0) * 1e3)
+        quant_ms = statistics.median(qts)
+        assert q.nbytes * 4 == feats.nbytes
+
+        toks8 = sc.decode_tokens(feats)             # compile
+        # exact oracle: the live jit decode fed the DEQUANTIZED array
+        deq = q.astype(np.float32) * scale[:, None, None]
+        want = np.asarray(jax.jit(
+            lambda p, f: model.apply({"params": p}, f, mode="test"))(
+                params, jnp.asarray(deq)))
+        assert (toks8 == want).all(), "int8-feats artifact diverged"
+        # vs the f32-input decode: lossy by design — recorded, not
+        # asserted (see docstring)
+        want_f32in = np.asarray(jax.jit(
+            lambda p, f: model.apply({"params": p}, f, mode="test"))(
+                params, jnp.asarray(feats)))
+        match = float((toks8 == want_f32in).mean())
+
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            _ = sc.decode_tokens(feats)    # pays per-request quantize
+        thru = batch * iters / (time.perf_counter() - t0)
+
+        phases = {"h2d_ms": [], "device_ms": []}
+        for _ in range(max(iters // 2, 3)):
+            _, t = sc.decode_tokens_timed(feats, exec_chain=None)
+            for k in phases:
+                phases[k].append(t[k])
+        h2d = statistics.median(phases["h2d_ms"])
+        dev = statistics.median(phases["device_ms"])
+        return {
+            f"serving_int8feats_clips_per_sec_{key}": round(thru, 2),
+            f"serving_int8feats_h2d_ms_{key}": round(h2d, 2),
+            f"serving_int8feats_device_ms_{key}": round(dev, 2),
+            f"serving_int8feats_request_ms_{key}": round(h2d + dev, 2),
+            f"serving_int8feats_quant_ms_{key}": round(quant_ms, 2),
+            f"serving_int8feats_token_match_frac_{key}": round(match, 4),
+        }
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def bench_serving_poly(iters: int, shapes=(16, 8, 24)) -> dict:
     """Shape-polymorphic artifact (export batch_size=None): measure the
     FIRST-USE lowering cost the serving runtime pays per new batch shape,
@@ -1513,6 +1598,8 @@ _CORE_KEYS = (
     "train_e2e_clips_per_sec_b16",
     "serving_artifact_clips_per_sec_b16", "serving_exec_ms_b16",
     "serving_bf16feats_clips_per_sec_b16",
+    "serving_int8feats_clips_per_sec_b16",
+    "serving_int8feats_token_match_frac_b16",
     "serving_device_resident_clips_per_sec_b16",
     "serving_device_resident_note_b16",   # degenerate-slope explanation —
     #   the ceiling key being absent must be explained in-line too
@@ -2010,6 +2097,13 @@ def main():
             extra["serving_bf16feats_h2d_speedup_b16"] = round(
                 extra["serving_h2d_ms_b16"]
                 / extra["serving_bf16feats_h2d_ms_b16"], 2)
+        stage("serving int8-feats artifact b16", "serving_int8feats_b16",
+              bench_serving_int8_feats, 16, args.serving_iters, est=60.0)
+        if ("serving_h2d_ms_b16" in extra
+                and extra.get("serving_int8feats_h2d_ms_b16")):
+            extra["serving_int8feats_h2d_speedup_b16"] = round(
+                extra["serving_h2d_ms_b16"]
+                / extra["serving_int8feats_h2d_ms_b16"], 2)
         stage("serving poly artifact", "serving_poly",
               bench_serving_poly, max(args.serving_iters // 2, 5),
               est=120.0)

@@ -34,14 +34,18 @@ def main():
     ap.add_argument("--beam_width", type=int, default=None)
     ap.add_argument("--max_beam_depth", type=int, default=None)
     ap.add_argument("--feats_dtype", default="float32",
-                    choices=("float32", "bfloat16", "float16"),
+                    choices=("float32", "bfloat16", "float16", "int8"),
                     help="the artifact's feature-input dtype. bfloat16 "
                          "halves the per-request upload — the measured "
                          "serving bottleneck (bench.py: H2D is ~97%% of "
                          "the request at B=16 over a network link); "
                          "ServingCaptioner.caption() casts f32 callers' "
                          "input via the manifest, so clients are "
-                         "unaffected")
+                         "unaffected. int8 quarters it via per-clip "
+                         "absmax quantization with on-device dequant — "
+                         "LOSSY (max error absmax/254 per element; "
+                         "bench.py records the token-match fraction), "
+                         "opt in only when the link is the bottleneck")
     args = ap.parse_args()
 
     from s2vt_tpu.config import Opt

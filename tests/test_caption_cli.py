@@ -99,3 +99,21 @@ def test_caption_clips_end_to_end(tmp_path):
     assert art16_captioner.artifact.manifest["feats_dtype"] == "bfloat16"
     out16 = art16_captioner.caption([clip])
     assert isinstance(out16[str(clip)], str)
+
+    # --feats_dtype int8: the quartered-upload LOSSY artifact (per-clip
+    # absmax quantize on the host, dequant on device via the manifest)
+    art8 = tmp_path / "artifact_int8"
+    sys.argv = ["export_serving", "--model_path", ckpt,
+                "--caption_file", corpus["captions_file"],
+                "--out", str(art8), "--batch", "2",
+                "--feats_dtype", "int8"]
+    try:
+        export_serving.main()
+    finally:
+        sys.argv = argv
+    art8_captioner = ClipCaptioner(backbone="tiny", artifact=str(art8))
+    assert art8_captioner.artifact.manifest["feats_dtype"] == "int8"
+    assert art8_captioner.artifact.manifest["quant"]["strategy"] == \
+        "per_clip_absmax"
+    out8 = art8_captioner.caption([clip])
+    assert isinstance(out8[str(clip)], str)
