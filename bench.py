@@ -614,9 +614,7 @@ def bench_adam_latency(iters: int = 5, chain: int = 6000) -> float:
     The update is matmul-free, HBM-bound work (read p/m/v/g, write
     p/m/v) that the matmul floor cannot see; it is chained through
     lax.scan (p_{t+1} depends on p_t, so steps serialize like the real
-    donated train step) and slope-measured over two chain lengths with
-    min-of-reps, the same tunnel discipline as bench_dep_matmul_latency.
-    Grads are held constant — adam with fixed g has no fixed point (p
+    donated train step). Grads are held constant — adam with fixed g has no fixed point (p
     drifts linearly), so every rep's dispatch is distinct. The chain is
     LONG because the per-update time is ms-scale. Measured as a single
     long-chain ABSOLUTE (min-of-reps of wall/chain), not a two-length
@@ -729,8 +727,8 @@ def bench_outlinear_triple_ms(batch: int, iters: int = 4,
             # without it successive reps can converge to a bf16 fixed
             # point and the tunnel elides repeated identical dispatches
             # (additive tiny perturbations round away in bf16 —
-            # CLAUDE.md). Same per-rep cost at both chain lengths, so
-            # the slope cancels it.
+            # CLAUDE.md). The nonce write is host-side, outside the
+            # timed window.
             xh = np.array(x)                 # copy: np.asarray of a jax
             xh[0, 0] = float(r + 1)          # array is read-only
             x = jnp.asarray(xh)
@@ -1171,6 +1169,73 @@ def bench_train_e2e(epochs: int, batch: int, tag: str, lr: float = 1e-4,
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _request_nonce(feats: np.ndarray, epoch: int) -> None:
+    """Write a per-request nonce (two base-224 digits, exact small ints
+    in any feats dtype incl. bf16) into two feature elements IN PLACE,
+    so repeated requests in a throughput/replay loop never upload
+    byte-identical payloads a caching tunnel could elide — the same
+    degeneracy the exec-slope nonces prevent
+    (serving/export.py::decode_tokens_timed). Callers comparing tokens
+    across two timed loops must drive both with the SAME epoch schedule
+    so the final payloads match."""
+    feats[0, 0, 0] = float(epoch % 224)
+    feats[0, 1, 0] = float((epoch // 224) % 224)
+
+
+def _serving_fixture(batch: int, out_dir: str, mode: str = "greedy",
+                     feats_dtype=None):
+    """Shared scaffold for the serving stages: bf16-compute S2VT on the
+    XLA path (artifacts always export it — pallas can't lower
+    multi-platform), seeded feats, params, and an artifact exported into
+    out_dir. One copy so a measurement fix (e.g. request nonces) lands
+    in every serving stage at once. Returns (model, params, feats,
+    ServingCaptioner)."""
+    import jax
+    import jax.numpy as jnp
+
+    from s2vt_tpu.models.s2vt import S2VT
+    from s2vt_tpu.serving import ServingCaptioner
+    from s2vt_tpu.serving.export import export_captioner
+
+    model = S2VT(vocab_size=VOCAB, feat_dim=FEAT, length=L, dim_hid=H,
+                 dim_embed=E, sos_ix=SOS, eos_ix=4,
+                 compute_dtype=jnp.bfloat16, use_pallas=False)
+    # np.array (copy): np.asarray of a jax array is read-only, and the
+    # throughput loops write request nonces into it
+    feats = np.array(jax.jit(
+        lambda k: jax.random.normal(k, (batch, L, FEAT)))(
+            jax.random.PRNGKey(1)))
+    params = model.init(jax.random.PRNGKey(0), feats, mode="test")["params"]
+    ix2word = {i: f"w{i}" for i in range(VOCAB)}
+    specials = {"pad_ix": 0, "unk_ix": 1, "sos_ix": SOS, "eos_ix": 4}
+    kw = {} if feats_dtype is None else {"feats_dtype": feats_dtype}
+    export_captioner(model, params, ix2word, specials, batch, out_dir,
+                     mode=mode, **kw)
+    return model, params, feats, ServingCaptioner(out_dir)
+
+
+def _request_phase_medians(sc, feats, reps: int, epoch0: int,
+                           slope_first: bool = False):
+    """Median h2d/device phases over per-request replays, each with a
+    fresh nonce (epoch0 must be disjoint from the caller's throughput
+    schedule); the exec slope optionally runs on the first replay only
+    (it costs ~481 extra executions). Returns (h2d_ms, device_ms,
+    exec_ms-or-None)."""
+    phases = {"h2d_ms": [], "device_ms": []}
+    exec_ms = None
+    for rep in range(reps):
+        _request_nonce(feats, epoch0 + rep)
+        _, t = sc.decode_tokens_timed(
+            feats,
+            exec_chain=(40, 120) if slope_first and rep == 0 else None)
+        for k in phases:
+            phases[k].append(t[k])
+        if rep == 0 and slope_first:
+            exec_ms = t["exec_ms"]
+    return (statistics.median(phases["h2d_ms"]),
+            statistics.median(phases["device_ms"]), exec_ms)
+
+
 def bench_serving(batch: int, iters: int, mode: str = "greedy") -> dict:
     """Serving-artifact replay vs the in-process jit path, same model and
     batch, per-request sync both sides (the serving access pattern). The
@@ -1182,51 +1247,38 @@ def bench_serving(batch: int, iters: int, mode: str = "greedy") -> dict:
     import tempfile
 
     import jax
-    import jax.numpy as jnp
-
-    from s2vt_tpu.models.s2vt import S2VT
-    from s2vt_tpu.serving import ServingCaptioner
-    from s2vt_tpu.serving.export import export_captioner
-
-    # use_pallas=False on BOTH sides: artifacts always export the XLA
-    # path (pallas can't lower multi-platform), and the jit comparator
-    # must run the identical computation for the ratio to mean anything.
-    model = S2VT(vocab_size=VOCAB, feat_dim=FEAT, length=L, dim_hid=H,
-                 dim_embed=E, sos_ix=SOS, eos_ix=4,
-                 compute_dtype=jnp.bfloat16, use_pallas=False)
-    feats = np.asarray(jax.jit(
-        lambda k: jax.random.normal(k, (batch, L, FEAT)))(
-            jax.random.PRNGKey(1)))
-    params = model.init(jax.random.PRNGKey(0), feats, mode="test")["params"]
-
-    if mode == "beam":
-        def jit_body(p, f):
-            res = model.apply({"params": p}, f, mode="beam_search",
-                              beam_width=3, max_beam_depth=30)
-            return res.tokens[:, 0, :]             # matches the export
-    else:
-        def jit_body(p, f):
-            return model.apply({"params": p}, f, mode="test")
 
     out_dir = tempfile.mkdtemp(prefix="s2vt_serving_bench_")
     key = f"b{batch}" if mode == "greedy" else f"beam_b{batch}"
     try:
-        ix2word = {i: f"w{i}" for i in range(VOCAB)}
-        specials = {"pad_ix": 0, "unk_ix": 1, "sos_ix": SOS, "eos_ix": 4}
-        export_captioner(model, params, ix2word, specials, batch, out_dir,
-                         mode=mode)
-        sc = ServingCaptioner(out_dir)
+        # use_pallas=False on BOTH sides (the fixture's export rule):
+        # the jit comparator must run the identical computation for the
+        # ratio to mean anything.
+        model, params, feats, sc = _serving_fixture(batch, out_dir, mode)
+
+        if mode == "beam":
+            def jit_body(p, f):
+                res = model.apply({"params": p}, f, mode="beam_search",
+                                  beam_width=3, max_beam_depth=30)
+                return res.tokens[:, 0, :]         # matches the export
+        else:
+            def jit_body(p, f):
+                return model.apply({"params": p}, f, mode="test")
 
         sc.decode_tokens(feats)                    # compile
         t0 = time.perf_counter()
-        for _ in range(iters):
+        for i in range(iters):
+            _request_nonce(feats, i)
             toks_art = sc.decode_tokens(feats)     # np.asarray = sync
         art = batch * iters / (time.perf_counter() - t0)
 
         jit_fn = jax.jit(jit_body)
+        _request_nonce(feats, iters)               # warm payload distinct
         np.asarray(jit_fn(params, feats))          # compile
         t0 = time.perf_counter()
-        for _ in range(iters):
+        for i in range(iters):
+            _request_nonce(feats, i)   # same schedule as the artifact
+            #   loop, so the final payloads (and tokens) match exactly
             toks_jit = np.asarray(jit_fn(params, feats))
         jit = batch * iters / (time.perf_counter() - t0)
 
@@ -1247,30 +1299,17 @@ def bench_serving(batch: int, iters: int, mode: str = "greedy") -> dict:
         # device) is batch / pure-exec — the gap between it and
         # serving_artifact_clips_per_sec is the per-request transfer+RPC
         # tax, stated in the artifact itself.
-        phases = {"h2d_ms": [], "device_ms": []}
-        exec_ms = None
-        for rep in range(max(iters // 2, 3)):
-            # the exec slope costs ~481 extra executions (3 reps each of
-            # 40- and 120-call chains + warm) — measure it on the first
-            # replay only; later replays re-sample only the link-weather
-            # phases (h2d / device turnaround)
-            _, t = sc.decode_tokens_timed(
-                feats, exec_chain=(40, 120) if rep == 0 else None)
-            for k in phases:
-                phases[k].append(t[k])
-            if rep == 0:
-                exec_ms = t["exec_ms"]
-        device_ms = statistics.median(phases["device_ms"])
-        for k, v in phases.items():
-            out[f"serving_{k}_{key}"] = round(statistics.median(v), 2)
+        h2d_ms, device_ms, exec_ms = _request_phase_medians(
+            sc, feats, max(iters // 2, 3), iters + 1, slope_first=True)
+        out[f"serving_h2d_ms_{key}"] = round(h2d_ms, 2)
+        out[f"serving_device_ms_{key}"] = round(device_ms, 2)
         out[f"serving_exec_ms_{key}"] = round(exec_ms, 2)
         # d2h against the MEDIAN device turnaround, not rep 0's — the
         # emitted decomposition (exec + d2h ~= device) must be
         # internally consistent even when rep 0 caught a weather spike
         out[f"serving_d2h_ms_{key}"] = round(
             max(device_ms - exec_ms, 0.0), 2)
-        out[f"serving_request_ms_{key}"] = round(
-            statistics.median(phases["h2d_ms"]) + device_ms, 2)
+        out[f"serving_request_ms_{key}"] = round(h2d_ms + device_ms, 2)
         if exec_ms >= 0.01:     # below 10us/batch the slope is noise,
             #   not a measurement — a B>=1 decode cannot run that fast
             out[f"serving_device_resident_clips_per_sec_{key}"] = round(
@@ -1301,26 +1340,11 @@ def bench_serving_bf16_feats(batch: int, iters: int) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from s2vt_tpu.models.s2vt import S2VT
-    from s2vt_tpu.serving import ServingCaptioner
-    from s2vt_tpu.serving.export import export_captioner
-
-    model = S2VT(vocab_size=VOCAB, feat_dim=FEAT, length=L, dim_hid=H,
-                 dim_embed=E, sos_ix=SOS, eos_ix=4,
-                 compute_dtype=jnp.bfloat16, use_pallas=False)
-    feats = np.asarray(jax.jit(
-        lambda k: jax.random.normal(k, (batch, L, FEAT)))(
-            jax.random.PRNGKey(1)))
-    params = model.init(jax.random.PRNGKey(0), feats, mode="test")["params"]
-
     key = f"b{batch}"
     out_dir = tempfile.mkdtemp(prefix="s2vt_serving_bf16_")
     try:
-        ix2word = {i: f"w{i}" for i in range(VOCAB)}
-        specials = {"pad_ix": 0, "unk_ix": 1, "sos_ix": SOS, "eos_ix": 4}
-        export_captioner(model, params, ix2word, specials, batch, out_dir,
-                         mode="greedy", feats_dtype=jnp.bfloat16)
-        sc = ServingCaptioner(out_dir)
+        model, params, feats, sc = _serving_fixture(
+            batch, out_dir, feats_dtype=jnp.bfloat16)
 
         t0 = time.perf_counter()
         feats16 = feats.astype(np.dtype("bfloat16"))
@@ -1341,17 +1365,13 @@ def bench_serving_bf16_feats(batch: int, iters: int) -> dict:
         match = float((toks16 == want_f32in).mean())
 
         t0 = time.perf_counter()
-        for _ in range(iters):
+        for i in range(iters):
+            _request_nonce(feats, i)
             _ = sc.decode_tokens(feats.astype(np.dtype("bfloat16")))
         thru = batch * iters / (time.perf_counter() - t0)
 
-        phases = {"h2d_ms": [], "device_ms": []}
-        for _ in range(max(iters // 2, 3)):
-            _, t = sc.decode_tokens_timed(feats16, exec_chain=None)
-            for k in phases:
-                phases[k].append(t[k])
-        h2d = statistics.median(phases["h2d_ms"])
-        dev = statistics.median(phases["device_ms"])
+        h2d, dev, _ = _request_phase_medians(
+            sc, feats16, max(iters // 2, 3), iters + 1)
         return {
             f"serving_bf16feats_clips_per_sec_{key}": round(thru, 2),
             f"serving_bf16feats_h2d_ms_{key}": round(h2d, 2),
@@ -1382,26 +1402,13 @@ def bench_serving_int8_feats(batch: int, iters: int) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from s2vt_tpu.models.s2vt import S2VT
-    from s2vt_tpu.serving import ServingCaptioner, quantize_feats
-    from s2vt_tpu.serving.export import export_captioner
-
-    model = S2VT(vocab_size=VOCAB, feat_dim=FEAT, length=L, dim_hid=H,
-                 dim_embed=E, sos_ix=SOS, eos_ix=4,
-                 compute_dtype=jnp.bfloat16, use_pallas=False)
-    feats = np.asarray(jax.jit(
-        lambda k: jax.random.normal(k, (batch, L, FEAT)))(
-            jax.random.PRNGKey(1)))
-    params = model.init(jax.random.PRNGKey(0), feats, mode="test")["params"]
+    from s2vt_tpu.serving import quantize_feats
 
     key = f"b{batch}"
     out_dir = tempfile.mkdtemp(prefix="s2vt_serving_int8_")
     try:
-        ix2word = {i: f"w{i}" for i in range(VOCAB)}
-        specials = {"pad_ix": 0, "unk_ix": 1, "sos_ix": SOS, "eos_ix": 4}
-        export_captioner(model, params, ix2word, specials, batch, out_dir,
-                         mode="greedy", feats_dtype=np.int8)
-        sc = ServingCaptioner(out_dir)
+        model, params, feats, sc = _serving_fixture(
+            batch, out_dir, feats_dtype=np.int8)
 
         qts = []
         for _ in range(5):   # median: the first call pays page faults
@@ -1426,17 +1433,13 @@ def bench_serving_int8_feats(batch: int, iters: int) -> dict:
         match = float((toks8 == want_f32in).mean())
 
         t0 = time.perf_counter()
-        for _ in range(iters):
+        for i in range(iters):
+            _request_nonce(feats, i)
             _ = sc.decode_tokens(feats)    # pays per-request quantize
         thru = batch * iters / (time.perf_counter() - t0)
 
-        phases = {"h2d_ms": [], "device_ms": []}
-        for _ in range(max(iters // 2, 3)):
-            _, t = sc.decode_tokens_timed(feats, exec_chain=None)
-            for k in phases:
-                phases[k].append(t[k])
-        h2d = statistics.median(phases["h2d_ms"])
-        dev = statistics.median(phases["device_ms"])
+        h2d, dev, _ = _request_phase_medians(
+            sc, feats, max(iters // 2, 3), iters + 1)
         return {
             f"serving_int8feats_clips_per_sec_{key}": round(thru, 2),
             f"serving_int8feats_h2d_ms_{key}": round(h2d, 2),
@@ -1469,7 +1472,7 @@ def bench_serving_poly(iters: int, shapes=(16, 8, 24)) -> dict:
     model = S2VT(vocab_size=VOCAB, feat_dim=FEAT, length=L, dim_hid=H,
                  dim_embed=E, sos_ix=SOS, eos_ix=4,
                  compute_dtype=jnp.bfloat16, use_pallas=False)
-    feats0 = np.asarray(jax.jit(
+    feats0 = np.array(jax.jit(      # copy: the loops write nonces into it
         lambda k: jax.random.normal(k, (max(shapes), L, FEAT)))(
             jax.random.PRNGKey(1)))
     params = model.init(jax.random.PRNGKey(0), feats0[:2], mode="test")["params"]
@@ -1489,7 +1492,8 @@ def bench_serving_poly(iters: int, shapes=(16, 8, 24)) -> dict:
                 time.perf_counter() - t0, 2)
         b0 = shapes[0]
         t0 = time.perf_counter()
-        for _ in range(iters):
+        for i in range(iters):
+            _request_nonce(feats0, i)   # payload distinct per request
             sc.decode_tokens(feats0[:b0])
         out[f"serving_poly_clips_per_sec_b{b0}"] = round(
             b0 * iters / (time.perf_counter() - t0), 2)
@@ -1505,7 +1509,8 @@ def bench_serving_poly(iters: int, shapes=(16, 8, 24)) -> dict:
         pad_rows = np.zeros((b0,) + feats0.shape[1:], feats0.dtype)
         scf.decode_tokens(np.concatenate([feats0[:b0], pad_rows]))  # compile
         t0 = time.perf_counter()
-        for _ in range(iters):
+        for i in range(iters):
+            _request_nonce(feats0, i)   # same schedule as the poly loop
             scf.decode_tokens(np.concatenate([feats0[:b0], pad_rows]))
         out[f"serving_fixedpad_clips_per_sec_b{b0}of{2*b0}"] = round(
             b0 * iters / (time.perf_counter() - t0), 2)
@@ -1515,18 +1520,26 @@ def bench_serving_poly(iters: int, shapes=(16, 8, 24)) -> dict:
         shutil.rmtree(d_fixed, ignore_errors=True)
 
 
-def _stage_budget(remaining_s: float, est: float,
-                  reserved_s: float) -> tuple:
+def _stage_budget(remaining_s: float, est: float, reserved_s: float,
+                  critical: bool = False) -> tuple:
     """The stage-start budget decision, shared by main()'s stage closure.
 
     Returns (may_start, timeout_cap_s): a stage may start only if the
     budget remainder MINUS the reservations held for judge-critical
     stages still to come covers its minimum cost, and — when it does
     start — its timeout is capped so it cannot run into the reserve
-    either. Critical stages call this with reserved_s=0 (their own
-    reservation is released on entry)."""
-    return (remaining_s - reserved_s >= est,
-            max(remaining_s - reserved_s, 1.0))
+    either. A critical stage releases its OWN reservation on entry but
+    still passes the reservations held for LATER criticals; when those
+    would block it, it starts anyway capped at its own est (reservation
+    order IS priority order, so an earlier critical outranks later
+    ones) — but it may never overrun freely into their reserves:
+    zeroing the reserve entirely let one wedged critical starve every
+    later gate, the exact failure the reserve exists to prevent."""
+    may_start = remaining_s - reserved_s >= est
+    cap = max(remaining_s - reserved_s, 1.0)
+    if critical and not may_start and remaining_s >= est:
+        return True, max(est, 1.0)
+    return may_start, cap
 
 
 def _run_stage(name, fn, *args, timeout_s: float = 600.0, retries: int = 1,
@@ -1651,7 +1664,11 @@ class _Artifact:
         # self-describing; throughput detail goes first, last-in-list
         # first.
         keep = {"full_extra_in", "decode_skipped", "terminated_by_signal",
-                "total_wall_s", "skipped_stages"}
+                "total_wall_s", "skipped_stages",
+                # only present when the exec slope degenerated, i.e.
+                # exactly when the ceiling key is absent and the line
+                # must explain why — dropping it first defeated it
+                "serving_device_resident_note_b16"}
         droppable = [k for k in core if k not in keep]
         while droppable and len(json.dumps(p)) > _EMIT_BUDGET_CHARS:
             core.pop(droppable.pop())
@@ -1780,8 +1797,8 @@ def main():
         res = sum(v for k, v in reserved.items() if k != key)
         if critical:
             reserved.pop(key, None)
-            res = 0.0
-        may_start, cap = _stage_budget(remaining(), est, res)
+        may_start, cap = _stage_budget(remaining(), est, res,
+                                       critical=critical)
         if not may_start:
             why = f"budget ({remaining():.0f}s left"
             why += f", {res:.0f}s reserved)" if res else ")"
@@ -1924,7 +1941,7 @@ def main():
         us = stage("dep matmul latency", "dep_matmul_latency_us",
                    bench_dep_matmul_latency,
                    best[1] if best is not None else 64, est=45.0)
-        if us is not None and best is not None:
+        if us is not None and us > 0 and best is not None:
             bound_ms = train_latency_bound_ms(us, best[1])
             extra["train_step_latency_bound_ms"] = round(bound_ms, 2)
             extra["train_step_latency_bound_frac"] = round(
@@ -1941,7 +1958,7 @@ def main():
         cell_us = stage("dep cell latency", "dep_cell_latency_us",
                         bench_dep_cell_latency,
                         best[1] if best is not None else 64, est=45.0)
-        if cell_us is not None and best is not None:
+        if cell_us is not None and cell_us > 0 and best is not None:
             cbound_ms = train_latency_bound_ms(cell_us, best[1])
             extra["train_step_cell_bound_ms"] = round(cbound_ms, 2)
             extra["train_step_cell_bound_frac"] = round(

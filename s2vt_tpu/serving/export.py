@@ -36,6 +36,18 @@ _SEP = "//"
 _SLOPE_EPOCH = 0   # see ServingCaptioner.decode_tokens_timed nonce bases
 
 
+def _slope_nonce_ids(epoch: int, pid: int) -> tuple:
+    """(base, e0, e1, e_q) identifying exec-slope measurement `epoch`:
+    the b-nonce base in [0, 224) (bf16-exactness caps b < 256, so base
+    alone cycles — 9 is coprime with 224, the old 7 shared gcd 7 and
+    gave period 32) plus the epoch digits written alongside it, which
+    keep the (base, e0, e1) triple distinct for 224^2 ≈ 50k
+    measurements per process (e_q, the raw epoch on the int8 scale row,
+    is f32-exact to 2^24)."""
+    return ((pid * 31 + epoch * 9) % 224, float(epoch % 224),
+            float((epoch // 224) % 224), float(epoch % (1 << 24)))
+
+
 def _flatten_params(params) -> Dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
@@ -266,24 +278,35 @@ class ServingCaptioner:
             # collide adjacent indices) and b the (chain, rep) id. All
             # values stay below 256 so they are exactly representable
             # even in bf16 feats (an additive epsilon would round away).
+            # e0/e1 are the measurement-epoch digits (base 224): b alone
+            # must stay below 256 for bf16-exactness, so it cycles; the
+            # epoch digits keep measurement k and k+cycle from re-issuing
+            # byte-identical executions. Needs feat_dim >= 4 (real
+            # backbones are 1536-4096).
             self._mix = jax.jit(
-                lambda f, t, a, b: f.at[0, 0, 0].set(
+                lambda f, t, a, b, e0, e1: f.at[0, 0, 0].set(
                     a.astype(f.dtype)
                     + (jnp.sum(t) % 2).astype(f.dtype))
-                .at[0, 0, 1].set(b.astype(f.dtype)))
+                .at[0, 0, 1].set(b.astype(f.dtype))
+                .at[0, 0, 2].set(e0.astype(f.dtype))
+                .at[0, 0, 3].set(e1.astype(f.dtype)))
             # int8 payloads can't hold the nonce range — write it into
             # clip 0's f32 SCALE instead (b*256 spacing keeps every
             # (a, b, parity) triple a distinct value; the wild scale only
             # perturbs clip 0's dequant, which timing doesn't care about)
+            # and the raw epoch (f32-exact to 2^24) into clip 1's scale.
             self._mix_q = jax.jit(
-                lambda q, s, t, a, b: (q, s.at[0].set(
-                    a + b * 256.0 + (jnp.sum(t) % 2).astype(s.dtype))))
+                lambda q, s, t, a, b, e: (q, s.at[0].set(
+                    a + b * 256.0 + (jnp.sum(t) % 2).astype(s.dtype))
+                    .at[1].set(e)))
 
         def mixed(devs, o, a, b):
             if self.quantized:
                 return self._mix_q(devs[0], devs[1], o,
-                                   jnp.float32(a), jnp.float32(b))
-            return (self._mix(devs[0], o, jnp.float32(a), jnp.float32(b)),)
+                                   jnp.float32(a), jnp.float32(b),
+                                   jnp.float32(e_q))
+            return (self._mix(devs[0], o, jnp.float32(a), jnp.float32(b),
+                              jnp.float32(e0), jnp.float32(e1)),)
 
         arrs = self._request_arrays(feats)    # host cast/quantize untimed
         t0 = time.perf_counter()
@@ -301,16 +324,16 @@ class ServingCaptioner:
 
         short, long = exec_chain
         assert 2 * long < 250, exec_chain
-        # The b-nonce base must differ across MEASUREMENTS, not only
-        # across this measurement's chains: a stage retry (or a second
+        # The nonces must differ across MEASUREMENTS, not only across
+        # this measurement's chains: a stage retry (or a second
         # captioner over the same seeded feats) would otherwise re-issue
         # byte-identical executions a caching tunnel could elide —
-        # exactly the degeneracy the nonces exist to prevent. Derive it
-        # from a process-global counter + pid, folded into [0, 224).
+        # exactly the degeneracy the nonces exist to prevent. See
+        # _slope_nonce_ids for the uniqueness argument.
         global _SLOPE_EPOCH
         _SLOPE_EPOCH += 1
         import os
-        base = (os.getpid() * 31 + _SLOPE_EPOCH * 7) % 224
+        base, e0, e1, e_q = _slope_nonce_ids(_SLOPE_EPOCH, os.getpid())
         # warm the mixer's compile OUTSIDE the timed chains (it would
         # otherwise land in whichever chain runs first and survive the
         # slope subtraction); b=base is reserved for the warm call

@@ -246,3 +246,35 @@ def test_stage_budget_reserves_for_critical_stages():
     # timeout cap never goes non-positive
     _, cap = bench._stage_budget(10.0, est=5.0, reserved_s=50.0)
     assert cap == 1.0
+    # a critical stage still honors LATER criticals' reservations: with
+    # room it caps below them, without room it starts anyway but capped
+    # at its own est — never the full remainder (a wedged critical must
+    # not starve every later gate)
+    ok, cap = bench._stage_budget(1400.0, est=330.0, reserved_s=300.0,
+                                  critical=True)
+    assert ok and cap == 1400.0 - 300.0
+    ok, cap = bench._stage_budget(400.0, est=330.0, reserved_s=300.0,
+                                  critical=True)
+    assert ok and cap == 330.0
+    # a critical stage whose est exceeds the remainder still skips
+    ok, _ = bench._stage_budget(200.0, est=330.0, reserved_s=300.0,
+                                critical=True)
+    assert not ok
+
+
+def test_request_nonce_distinct_payloads_any_dtype():
+    """The serving throughput loops write a per-request nonce so repeated
+    requests never upload byte-identical payloads (the tunnel-caching
+    degeneracy, CLAUDE.md). The nonce must be exact in every served
+    feats dtype (an additive epsilon rounds away in bf16) and distinct
+    for far more epochs than any loop runs."""
+    import numpy as np
+
+    for dt in (np.float32, np.dtype("bfloat16")):
+        feats = np.zeros((2, 4, 4), dt)
+        seen = set()
+        for i in range(1000):
+            bench._request_nonce(feats, i)
+            seen.add((float(feats[0, 0, 0]), float(feats[0, 1, 0])))
+        assert len(seen) == 1000   # exact (no rounding collisions), unique
+        assert all(0 <= a < 224 and 0 <= b < 224 for a, b in seen)

@@ -245,3 +245,22 @@ def test_int8_artifact_trained_model_fidelity(tmp_path):
     sents_f32 = ServingCaptioner(f32_dir).caption(feats)
     sents_i8 = ServingCaptioner(i8_dir).caption(feats)
     assert sents_i8 == sents_f32, list(zip(sents_f32, sents_i8))
+
+
+def test_slope_nonce_ids_unique_across_measurements():
+    """The exec-slope nonce identity (base, e0, e1) must be distinct for
+    tens of thousands of measurements in one process: measurement k
+    re-using measurement j's nonce set re-issues byte-identical chain
+    executions that a caching tunnel elides, collapsing the slope (the
+    old base formula's 7 multiplier shared gcd 7 with 224 — period 32)."""
+    from s2vt_tpu.serving.export import _slope_nonce_ids
+    for pid in (1, 4242, 99991):
+        seen = {_slope_nonce_ids(e, pid)[:3] for e in range(1, 224 * 224)}
+        assert len(seen) == 224 * 224 - 1
+        # the int8 path's raw-epoch scale nonce is unique even longer
+        assert len({_slope_nonce_ids(e, pid)[3]
+                    for e in range(1, 5000)}) == 4999
+    # every emitted value stays below 256 (bf16-exact small ints) except
+    # e_q, which lands on an f32 scale row (exact to 2^24)
+    base, e0, e1, _ = _slope_nonce_ids(123456, 7)
+    assert 0 <= base < 224 and 0 <= e0 < 224 and 0 <= e1 < 224
