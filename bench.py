@@ -1346,9 +1346,12 @@ def bench_serving_bf16_feats(batch: int, iters: int) -> dict:
         model, params, feats, sc = _serving_fixture(
             batch, out_dir, feats_dtype=jnp.bfloat16)
 
-        t0 = time.perf_counter()
-        feats16 = feats.astype(np.dtype("bfloat16"))
-        astype_ms = (time.perf_counter() - t0) * 1e3
+        ats = []
+        for _ in range(5):   # median: the first cast pays page faults
+            t0 = time.perf_counter()
+            feats16 = feats.astype(np.dtype("bfloat16"))
+            ats.append((time.perf_counter() - t0) * 1e3)
+        astype_ms = statistics.median(ats)
         assert feats16.nbytes * 2 == feats.nbytes
 
         toks16 = sc.decode_tokens(feats16)          # compile
@@ -1787,6 +1790,9 @@ def main():
         if not args.skip_serving:
             reserved["serving_b16"] = 90.0
             reserved["serving_bf16feats_b16"] = 60.0
+            # int8 throughput + fidelity are _CORE_KEYS headline values
+            # like the bf16 pair — a bad-link run must not starve them
+            reserved["serving_int8feats_b16"] = 60.0
 
     def stage(name, key, fn, *a, scale=1.0, timeout_s=None, est=45.0,
               critical=False, **kw):
@@ -2115,7 +2121,8 @@ def main():
                 extra["serving_h2d_ms_b16"]
                 / extra["serving_bf16feats_h2d_ms_b16"], 2)
         stage("serving int8-feats artifact b16", "serving_int8feats_b16",
-              bench_serving_int8_feats, 16, args.serving_iters, est=60.0)
+              bench_serving_int8_feats, 16, args.serving_iters, est=60.0,
+              critical=True)
         if ("serving_h2d_ms_b16" in extra
                 and extra.get("serving_int8feats_h2d_ms_b16")):
             extra["serving_int8feats_h2d_speedup_b16"] = round(

@@ -178,9 +178,9 @@ def load_synsets(source) -> Dict[str, frozenset]:
         if isinstance(text, bytes):
             text = text.decode("utf-8")
         source = text.splitlines()
-    elif isinstance(source, (str, os.PathLike)):   # path -> its content
+    elif isinstance(source, (str, bytes, os.PathLike)):  # path -> content
         import pathlib
-        source = pathlib.Path(source).read_text(
+        source = pathlib.Path(os.fsdecode(source)).read_text(
             encoding="utf-8").splitlines()
     # source is now an iterable of synsets; a str element is one
     # space-separated file line (a bare word iterates character-wise,

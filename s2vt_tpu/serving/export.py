@@ -248,9 +248,19 @@ class ServingCaptioner:
          - ``device_ms``: execute + fetch of the token matrix — the
            request's real device turnaround (execute and fetch are
            inseparable per-request through a link);
-         - ``exec_ms``: the per-call pure-execute time, measured by a
+         - ``exec_ms``: the per-call execute time, measured by a
            two-length pipelined-chain slope — N dependent calls
-           submitted async with ONE fetch at the end;
+           submitted async with ONE fetch at the end. Two known
+           biases, both in the conservative (HIGH) direction: each
+           chain step pays the nonce mixer's un-donated payload copy
+           (~50us at B=16 f32, <3% of the decode; donation measured a
+           wash — see the _mix comment), and the slope reads
+           max(execute, per-step dispatch) — under slow-dispatch link
+           weather it saturates at the tunnel's dispatch rate
+           (measured 7.4 vs 2.6 ms/step across sessions while the
+           on-device-chained b10 decode read identical values), so
+           cross-check against an on-device-chained decode number
+           before treating it as pure compute;
            (t_long - t_short) / (n_long - n_short) cancels the
            dispatch+fetch constant exactly. Every chain call's input is
            made unique by WRITING a distinct nonce into one feature
@@ -283,6 +293,16 @@ class ServingCaptioner:
             # epoch digits keep measurement k and k+cycle from re-issuing
             # byte-identical executions. Needs feat_dim >= 4 (real
             # backbones are 1536-4096).
+            # NOT donated: the un-donated .at[].set copies the whole
+            # [B, L, F] payload every chain step (~50us of HBM traffic
+            # at B=16 f32, <3% of the B=16 decode), a per-step cost the
+            # slope cannot cancel — exec_ms is biased HIGH and the
+            # device-resident ceiling conservative by that margin.
+            # Donating to write in place was measured a wash through
+            # the tunnel (7.37 donated vs 7.39 un-donated ms/step, same
+            # session) — per-step dispatch, not the copy, dominates
+            # whenever the link is in slow-dispatch weather, so keep
+            # the simpler un-donated form.
             self._mix = jax.jit(
                 lambda f, t, a, b, e0, e1: f.at[0, 0, 0].set(
                     a.astype(f.dtype)
@@ -295,6 +315,9 @@ class ServingCaptioner:
             # (a, b, parity) triple a distinct value; the wild scale only
             # perturbs clip 0's dequant, which timing doesn't care about)
             # and the raw epoch (f32-exact to 2^24) into clip 1's scale.
+            # same no-donation rationale as _mix: the pass-through q
+            # materializes an int8 payload copy per step (a quarter the
+            # f32 bias), cheaper than the donated dispatch serialization
             self._mix_q = jax.jit(
                 lambda q, s, t, a, b, e: (q, s.at[0].set(
                     a + b * 256.0 + (jnp.sum(t) % 2).astype(s.dtype))

@@ -159,6 +159,11 @@ class Trainer:
         # halves the bank upload + HBM and the streaming H2D payload,
         # and is numerically equivalent because every matmul casts its
         # operands to compute_dtype at use anyway.
+        if opt.bank_dtype not in ("auto", "bfloat16", "float32"):
+            raise ValueError(
+                f"Opt.bank_dtype={opt.bank_dtype!r}: expected 'auto', "
+                "'bfloat16', or 'float32' (a typo here would otherwise "
+                "silently store the bank in float32)")
         bd = opt.bank_dtype if opt.bank_dtype != "auto" else opt.compute_dtype
         if bd == "bfloat16":
             import ml_dtypes

@@ -9,6 +9,7 @@ with hand-computed score oracles."""
 
 import gzip
 import itertools
+import os
 import pathlib
 
 import pytest
@@ -211,6 +212,7 @@ def test_load_synsets_source_forms_agree(tmp_path):
     with open(path) as fh:
         assert load_synsets(fh) == want
     assert load_synsets(text.splitlines()) == want
+    assert load_synsets(os.fsencode(str(path))) == want   # bytes path
     assert "b" not in load_synsets(io.StringIO(text))   # no char-wise parse
 
 

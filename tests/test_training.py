@@ -339,6 +339,15 @@ def test_bank_dtype_streaming_transfer_matches_bank(corpus, tmp_path):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_bank_dtype_typo_rejected(corpus, tmp_path):
+    """Unrecognized bank_dtype values raise instead of silently storing
+    the bank in float32 (a 'bf16' typo would otherwise look like the
+    documented halving while changing nothing)."""
+    with pytest.raises(ValueError, match="bank_dtype"):
+        Trainer(small_opt(corpus, tmp_path, EPOCHS=1, bank_dtype="bf16"),
+                writer=None)
+
+
 def test_bank_dtype_auto_threshold_uses_stored_bytes(corpus, tmp_path):
     """'auto' bank gating budgets the STORED bytes: a dataset over the
     f32 budget but under it at bf16 still gets the bank."""
