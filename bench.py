@@ -2144,6 +2144,20 @@ def main():
     if args.att_ab:
         stage("att decoder A/B", "att_ab", bench_att_decoder_ab, est=120.0)
 
+    # The serving exec slope reads max(execute, per-step tunnel dispatch):
+    # under slow-dispatch weather it saturates at the dispatch rate
+    # (measured 7.4 vs 2.6 ms/step across sessions while the on-device-
+    # chained b10 decode read identical 2.29 ms). Cross-check against the
+    # b10 number — the weather-immune execute reference for this decode —
+    # and say so in-artifact when the ceiling is dispatch-bound.
+    for k in [k for k in extra if k.startswith("serving_exec_ms_")]:
+        b10 = extra.get("decode_clips_per_sec_b10")
+        if b10 and extra[k] > 2.0 * (10_000.0 / b10):
+            extra[k.replace("_ms_", "_slope_note_")] = (
+                f"dispatch-rate-saturated ({extra[k]} ms/step vs "
+                f"{10_000.0 / b10:.2f} ms on-device-chained b10 decode) — "
+                "the device-resident ceiling is link-, not compute-bound "
+                "this session")
     extra["baseline_note"] = ("torch-CPU reference (no GPU on this host); "
                               "vs_baseline is TPU-vs-CPU, not like-for-like")
     extra["total_wall_s"] = round(time.perf_counter() - t_start, 1)
